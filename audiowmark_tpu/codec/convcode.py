@@ -1,0 +1,173 @@
+"""Rate-1/6 (A/B) / rate-1/12 (AB), order-15 convolutional code.
+
+Reference behavior: src/convcode.cc — 12 octal generators split across A/B
+block types, shift-register encoder with `order` zero-termination bits, and a
+full soft-decision Viterbi decoder over 2^15 = 32768 states with squared-error
+branch metrics.
+
+TPU design: the Viterbi add-compare-select is one `lax.scan` over time steps
+where each step is a dense vector op over all 32768 states:
+
+    new_metric[s] = min(old[s>>1], old[(s>>1) + 2^14]) + bm[s]
+
+All branch metrics are computed up front with ONE matmul
+(steps x rate) @ (rate x 32768) that maps onto the MXU, and the per-step
+min/select is pure VPU work.  Traceback is a second (cheap) scan.  Decoding is
+batchable over candidate patterns via vmap.
+
+Tie-breaking matches the reference exactly: the lower-numbered predecessor
+wins on equal path metrics (strict-less update, ascending state order).
+"""
+
+from __future__ import annotations
+
+from enum import Enum
+from functools import lru_cache, partial
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+
+class ConvBlockType(Enum):
+    a = 0
+    b = 1
+    ab = 2
+
+
+AB_GENERATORS = (
+    0o66561, 0o75211, 0o71545, 0o54435, 0o63635, 0o52475,
+    0o63543, 0o75307, 0o52547, 0o45627, 0o67657, 0o51757,
+)
+AB_RATE = len(AB_GENERATORS)
+ORDER = 15
+STATE_COUNT = 1 << ORDER
+STATE_MASK = STATE_COUNT - 1
+_BIG = np.float32(1e9)
+
+
+def get_block_type_generators(block_type: ConvBlockType) -> Tuple[int, ...]:
+    if block_type == ConvBlockType.a:
+        return AB_GENERATORS[0::2]
+    if block_type == ConvBlockType.b:
+        return AB_GENERATORS[1::2]
+    return AB_GENERATORS
+
+
+def conv_code_size(block_type: ConvBlockType, msg_size: int) -> int:
+    if block_type in (ConvBlockType.a, ConvBlockType.b):
+        return (msg_size + ORDER) * AB_RATE // 2
+    return (msg_size + ORDER) * AB_RATE
+
+
+def conv_encode(block_type: ConvBlockType, in_bits) -> np.ndarray:
+    """Shift-register encoder (vectorized): out[t,p] = XOR_k poly_k bits[t-k]."""
+    generators = get_block_type_generators(block_type)
+    bits = np.concatenate([np.asarray(in_bits, dtype=np.uint8),
+                           np.zeros(ORDER, dtype=np.uint8)])
+    n = len(bits)
+    out = np.zeros((n, len(generators)), dtype=np.uint8)
+    padded = np.concatenate([np.zeros(ORDER - 1, dtype=np.uint8), bits])
+    for p, poly in enumerate(generators):
+        acc = np.zeros(n, dtype=np.uint8)
+        for k in range(ORDER):
+            if poly & (1 << k):
+                # reg bit k at step t is input bit t-k
+                acc ^= padded[ORDER - 1 - k: ORDER - 1 - k + n]
+        out[:, p] = acc
+    return out.reshape(-1).astype(np.int32)
+
+
+@lru_cache(maxsize=None)
+def _state_output_table(block_type: ConvBlockType) -> np.ndarray:
+    """S[state, p] = parity(state & poly) as float32 (STATE_COUNT, rate)."""
+    generators = get_block_type_generators(block_type)
+    states = np.arange(STATE_COUNT, dtype=np.uint32)
+    cols = []
+    for poly in generators:
+        v = states & np.uint32(poly)
+        # parity via popcount folding
+        v ^= v >> 8
+        v ^= v >> 4
+        v ^= v >> 2
+        v ^= v >> 1
+        cols.append((v & 1).astype(np.float32))
+    return np.stack(cols, axis=1)
+
+
+@partial(jax.jit, static_argnames=("rate",))
+def _viterbi_core(coded: jnp.ndarray, s_table: jnp.ndarray, rate: int):
+    """Viterbi ACS + traceback for one coded-bit vector.
+
+    coded: (steps*rate,) float32.  Returns (decoded_bits (steps,), final_err).
+    """
+    steps = coded.shape[0] // rate
+    c = coded.reshape(steps, rate)
+
+    # branch metrics for all steps at once:
+    #   bm[t, s] = sum_p (c[t,p] - S[s,p])^2
+    #            = sum_p c^2 - 2 c @ S^T + sum_p S
+    c_sq = jnp.sum(c * c, axis=1, keepdims=True)              # (steps, 1)
+    s_sum = jnp.sum(s_table, axis=1)[None, :]                 # (1, states)
+    bm = c_sq - 2.0 * jnp.dot(c, s_table.T,
+                              preferred_element_type=jnp.float32) + s_sum
+
+    init = jnp.full((STATE_COUNT,), _BIG, dtype=jnp.float32).at[0].set(0.0)
+
+    def acs_step(metric, bm_t):
+        lo = metric[: STATE_COUNT // 2]
+        hi = metric[STATE_COUNT // 2:]
+        # predecessor p_a = s>>1 (lo index), p_b = s>>1 + 2^14 (hi index);
+        # strict-less: hi wins only if strictly better (matches reference)
+        decision = hi < lo
+        best = jnp.where(decision, hi, lo)
+        new_metric = jnp.repeat(best, 2) + bm_t
+        return new_metric, jnp.repeat(decision, 2)
+
+    final_metric, decisions = jax.lax.scan(acs_step, init, bm)
+    final_err = final_metric[0] / jnp.float32(coded.shape[0])
+
+    def traceback_step(state, dec_t):
+        bit = state & 1
+        prev = (state >> 1) | (dec_t[state].astype(jnp.int32) << (ORDER - 1))
+        return prev, bit
+
+    _, bits_rev = jax.lax.scan(traceback_step, jnp.int32(0), decisions,
+                               reverse=True)
+    # scan(reverse=True) emits outputs in forward order already
+    return bits_rev, final_err
+
+
+def conv_decode_soft(block_type: ConvBlockType, coded_bits,
+                     return_error: bool = False):
+    """Soft-decision Viterbi decode; coded_bits in [0,1] floats."""
+    generators = get_block_type_generators(block_type)
+    rate = len(generators)
+    coded = np.asarray(coded_bits, dtype=np.float32)
+    assert coded.size % rate == 0
+    s_table = jnp.asarray(_state_output_table(block_type))
+    bits, err = _viterbi_core(jnp.asarray(coded), s_table, rate)
+    bits = np.asarray(bits, dtype=np.int32)
+    decoded = bits[: bits.size - ORDER]
+    if return_error:
+        return decoded, float(err)
+    return decoded
+
+
+def conv_decode_soft_batch(block_type: ConvBlockType,
+                           coded_batch: np.ndarray):
+    """Batched decode: (B, n_coded) -> ((B, n_msg) bits, (B,) errors)."""
+    generators = get_block_type_generators(block_type)
+    rate = len(generators)
+    s_table = jnp.asarray(_state_output_table(block_type))
+    fn = jax.vmap(lambda c: _viterbi_core(c, s_table, rate))
+    bits, errs = fn(jnp.asarray(coded_batch, dtype=jnp.float32))
+    bits = np.asarray(bits, dtype=np.int32)
+    return bits[:, : bits.shape[1] - ORDER], np.asarray(errs)
+
+
+def conv_decode_hard(block_type: ConvBlockType, coded_bits) -> np.ndarray:
+    soft = np.asarray(coded_bits, dtype=np.float32)
+    return conv_decode_soft(block_type, soft)

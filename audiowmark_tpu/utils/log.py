@@ -1,0 +1,53 @@
+"""Leveled stderr logging (reference: src/utils.hh:76-84, src/utils.cc).
+
+All informational output goes to stderr; stdout is reserved for
+machine-readable results (pattern/match_count lines, JSON).
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+from enum import IntEnum
+
+
+class Log(IntEnum):
+    ERROR = 1
+    WARNING = 2
+    INFO = 3
+    DEBUG = 4
+
+
+_log_level = Log.INFO
+
+
+def set_log_level(level: Log):
+    global _log_level
+    _log_level = level
+
+
+def _log(level: Log, msg: str):
+    if level <= _log_level:
+        sys.stderr.write(msg)
+        sys.stderr.flush()
+
+
+def error(msg: str):
+    _log(Log.ERROR, msg)
+
+
+def warning(msg: str):
+    _log(Log.WARNING, msg)
+
+
+def info(msg: str):
+    _log(Log.INFO, msg)
+
+
+def debug(msg: str):
+    _log(Log.DEBUG, msg)
+
+
+def get_time() -> float:
+    """Monotonic wall-clock seconds (reference: src/utils.cc:35-43)."""
+    return time.monotonic()
