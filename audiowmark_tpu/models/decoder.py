@@ -1,0 +1,338 @@
+"""Watermark decoder: block decoder, clip decoder, soft-bit extraction.
+
+Reference behavior: src/wmget.cc — sync candidates from the sync finder, a
+2226-frame FFT range per candidate, mix/linear soft-bit extraction with local
+spectral background subtraction (minus the mean of the previous and next
+frame's same bins), keyed de-interleaving, Viterbi decoding, A+B joining and
+the greedy "all" block-chain merge.
+
+TPU design: per-candidate soft-bit extraction is a batched windowed-FFT +
+gather/segment-sum; all candidates' Viterbi decodes run as one batched
+lax.scan via vmap.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+from typing import List, Optional
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ..codec import ConvBlockType, code_decode_soft, code_size
+from ..crypto.keys import Key
+from ..ops.frames import FRAME, MIN_DB, _LOG2_DB, analysis_window
+from ..params import Params
+from ..tables import KeyTables, get_key_tables, randomize_bit_order
+from . import syncfinder
+from .resultset import PatternType, ResultSet
+from .syncfinder import SyncMode
+
+
+@jax.jit
+def _db_per_channel(windows: jnp.ndarray, awin: jnp.ndarray) -> jnp.ndarray:
+    """(T, C, FRAME) -> (T, C, N_BANDS) dB (per channel, min -96)."""
+    spec = jnp.fft.rfft(windows * awin[None, None, :], axis=-1)
+    spec = spec[:, :, Params.min_band:Params.max_band + 1]
+    abs2 = jnp.real(spec) ** 2 + jnp.imag(spec) ** 2
+    return jnp.where(abs2 > 0, jnp.log2(abs2) * jnp.float32(_LOG2_DB),
+                     jnp.float32(MIN_DB))
+
+
+def _block_db(samples: np.ndarray, n_channels: int, index: int,
+              frame_count: int) -> Optional[np.ndarray]:
+    """dB spectrogram (frame_count, C, N_BANDS) of frames starting at sample
+    index; None if the range reads past the end (reference fft_range)."""
+    x = samples.reshape(-1, n_channels)
+    if index + frame_count * FRAME > x.shape[0]:
+        return None
+    idx = index + np.arange(frame_count)[:, None] * FRAME + np.arange(FRAME)[None, :]
+    windows = np.ascontiguousarray(x[idx].transpose(0, 2, 1))
+    out = np.empty((frame_count, n_channels,
+                    Params.max_band - Params.min_band + 1), dtype=np.float32)
+    TILE = 4096
+    awin = jnp.asarray(analysis_window())
+    for t0 in range(0, frame_count, TILE):
+        t1 = min(t0 + TILE, frame_count)
+        out[t0:t1] = np.asarray(
+            _db_per_channel(jnp.asarray(windows[t0:t1]), awin))
+    return out
+
+
+def _background_subtract(db: np.ndarray) -> np.ndarray:
+    """A[f] = db[f] - 0.5*(db[prev] + db[next]) with edge reflection
+    (reference prev/next index clamping, src/wmget.cc:86-97)."""
+    T = db.shape[0]
+    nxt = np.arange(1, T + 1)
+    nxt[-1] = T - 2 if T >= 2 else 0
+    prv = np.arange(-1, T - 1)
+    prv[0] = 1 if T >= 2 else 0
+    return db - 0.5 * (db[prv] + db[nxt])
+
+
+def mix_or_linear_decode(tables: KeyTables, db: np.ndarray) -> np.ndarray:
+    """Soft bits from a block dB spectrogram (frames, C, bands)."""
+    A = _background_subtract(db).sum(axis=1)      # sum over channels
+    bpf = Params.bands_per_frame
+    if Params.mix:
+        u = A[tables.mix_frame, tables.mix_up - Params.min_band]
+        d = A[tables.mix_frame, tables.mix_dn - Params.min_band]
+        per_entry = u - d                          # (n_data*30,)
+        group = bpf * Params.frames_per_bit
+        raw = per_entry.reshape(-1, group).sum(axis=1)
+    else:
+        f = np.arange(tables.n_data_frames)
+        frames = tables.data_frame(f)
+        u = A[frames[:, None], tables.data_up - Params.min_band].sum(axis=1)
+        d = A[frames[:, None], tables.data_dn - Params.min_band].sum(axis=1)
+        raw = (u - d).reshape(-1, Params.frames_per_bit).sum(axis=1)
+    return raw.astype(np.float32)
+
+
+def normalize_soft_bits(soft_bits: np.ndarray) -> np.ndarray:
+    """Rescale [-mean,+mean] -> [0,1] (src/wmget.cc:40-65)."""
+    if Params.hard:
+        return (soft_bits > 0).astype(np.float32)
+    mean = float(np.mean(np.abs(soft_bits)))
+    return (0.5 * (soft_bits / mean + 1)).astype(np.float32)
+
+
+# ---- block decoder -----------------------------------------------------------
+
+@dataclass
+class _PatternRawBits:
+    index: int
+    quality: float
+    raw_bit_vec: np.ndarray
+    block_type: ConvBlockType
+
+
+class BlockDecoder:
+    def __init__(self, speed: float):
+        self.speed = speed
+        self.debug_sync_frame_count = 0
+        self.key_results: List[syncfinder.KeyResult] = []
+
+    def run(self, key_list: List[Key], wav_data, result_set: ResultSet):
+        self.key_results = syncfinder.search(key_list, wav_data,
+                                             SyncMode.BLOCK)
+        n_channels = wav_data.n_channels
+        samples = wav_data.samples
+
+        for key_result in self.key_results:
+            key = key_result.key
+            tables = get_key_tables(key)
+            count = tables.frames_per_block
+            pattern_raw: List[_PatternRawBits] = []
+
+            for sync_score in key_result.sync_scores:
+                db = _block_db(samples, n_channels, sync_score.index, count)
+                if db is None:
+                    continue
+                raw_bits = mix_or_linear_decode(tables, db)
+                raw_bits = randomize_bit_order(tables, raw_bits, encode=False)
+                pattern_raw.append(_PatternRawBits(
+                    sync_score.index, sync_score.quality, raw_bits,
+                    sync_score.block_type))
+
+                time = sync_score.index / wav_data.sample_rate
+                bit_vec, decode_error = code_decode_soft(
+                    sync_score.block_type, normalize_soft_bits(raw_bits),
+                    return_error=True)
+                if len(bit_vec):
+                    result_set.add_pattern(
+                        key, time, sync_score.quality, sync_score.block_type,
+                        bit_vec, decode_error, PatternType.BLOCK, self.speed)
+
+            self._join_ab(key, tables, pattern_raw, wav_data, result_set)
+            self._all_chain(key, tables, pattern_raw, result_set)
+
+        self.debug_sync_frame_count = (
+            wav_data.n_values // wav_data.n_channels // FRAME)
+
+    def _join_ab(self, key, tables, pattern_raw, wav_data, result_set):
+        """A block followed by B block at the right distance -> AB decode."""
+        count = tables.frames_per_block
+        for i, pat_b in enumerate(pattern_raw):
+            if pat_b.block_type != ConvBlockType.b:
+                continue
+            best_j = -1
+            best_abs_dist = Params.frame_size // 2
+            for j in range(i):
+                if pattern_raw[j].block_type == ConvBlockType.a:
+                    abs_dist = abs((pat_b.index - pattern_raw[j].index)
+                                   - count * Params.frame_size)
+                    if abs_dist < best_abs_dist:
+                        best_j = j
+                        best_abs_dist = abs_dist
+            if best_j >= 0:
+                a_pat = pattern_raw[best_j]
+                ab_bits = np.empty(a_pat.raw_bit_vec.size * 2, np.float32)
+                ab_bits[0::2] = a_pat.raw_bit_vec
+                ab_bits[1::2] = pat_b.raw_bit_vec
+                time = pat_b.index / wav_data.sample_rate
+                bit_vec, decode_error = code_decode_soft(
+                    ConvBlockType.ab, normalize_soft_bits(ab_bits),
+                    return_error=True)
+                if len(bit_vec):
+                    quality = (a_pat.quality + pat_b.quality) / 2
+                    result_set.add_pattern(
+                        key, time, quality, ConvBlockType.ab, bit_vec,
+                        decode_error, PatternType.BLOCK, self.speed)
+
+    def _all_chain(self, key, tables, pattern_raw, result_set):
+        """Greedy chain of blocks at expected spacing with A/B alternation;
+        average soft bits over the best chain (src/wmget.cc:606-701)."""
+        if not pattern_raw:
+            return
+        count = tables.frames_per_block
+        best_all_blocks: List[int] = []
+
+        def sync_sum(blocks):
+            return sum(pattern_raw[b].quality for b in blocks)
+
+        for i in range(len(pattern_raw)):
+            max_block_idx = int(round(
+                pattern_raw[-1].index / float(count * Params.frame_size) + 0.5))
+            all_blocks = [i]
+            block_idx = 1
+            while block_idx <= max_block_idx:
+                expect_start = pattern_raw[all_blocks[-1]].index \
+                    + block_idx * count * Params.frame_size
+                best_j = -1
+                best_abs_dist = block_idx * Params.frame_size // 2
+                expect_bt = pattern_raw[all_blocks[-1]].block_type
+                if block_idx & 1:
+                    expect_bt = (ConvBlockType.b
+                                 if expect_bt == ConvBlockType.a
+                                 else ConvBlockType.a)
+                for j in range(all_blocks[-1], len(pattern_raw)):
+                    abs_dist = abs(expect_start - pattern_raw[j].index)
+                    if abs_dist < best_abs_dist:
+                        if pattern_raw[j].block_type == expect_bt:
+                            best_j = j
+                            best_abs_dist = abs_dist
+                if best_j >= 0:
+                    all_blocks.append(best_j)
+                    block_idx = 1
+                else:
+                    block_idx += 1
+            if sync_sum(all_blocks) > sync_sum(best_all_blocks):
+                best_all_blocks = all_blocks
+
+        if len(best_all_blocks) > 1:
+            n_ab = code_size(ConvBlockType.ab, Params.payload_size)
+            raw_all = np.zeros(n_ab, dtype=np.float64)
+            norm = [0, 0]
+            quality = 0.0
+            for bi in best_all_blocks:
+                pat = pattern_raw[bi]
+                quality += pat.quality
+                ab = 1 if pat.block_type == ConvBlockType.b else 0
+                raw_all[ab::2] += pat.raw_bit_vec
+                norm[ab] += 1
+            raw_all[0::2] /= max(norm[0], 1)
+            raw_all[1::2] /= max(norm[1], 1)
+            quality /= (norm[0] + norm[1])
+            soft = normalize_soft_bits(raw_all.astype(np.float32))
+            bit_vec, decode_error = code_decode_soft(
+                ConvBlockType.ab, soft, return_error=True)
+            if len(bit_vec):
+                result_set.add_pattern(
+                    key, 0.0, quality, ConvBlockType.ab, bit_vec,
+                    decode_error, PatternType.ALL, self.speed)
+
+    def debug_sync(self) -> str:
+        """sync_match debug line (exactly one key; src/wmget.cc:707-734)."""
+        if len(self.key_results) != 1:
+            return ""
+        tables = get_key_tables(self.key_results[0].key)
+        sync_scores = self.key_results[0].sync_scores
+        expect0 = Params.frames_pad_start * Params.frame_size
+        expect_step = tables.frames_per_block * Params.frame_size
+        expect_end = self.debug_sync_frame_count * Params.frame_size
+
+        sync_match = 0
+        expect_index = expect0
+        while expect_index + expect_step < expect_end:
+            for ss in sync_scores:
+                if abs(ss.index + Params.test_cut - expect_index) \
+                        < Params.frame_size // 2:
+                    sync_match += 1
+                    break
+            expect_index += expect_step
+        return "sync_match %d %d\n" % (sync_match, len(sync_scores))
+
+
+# ---- clip decoder ------------------------------------------------------------
+
+class ClipDecoder:
+    def __init__(self, speed: float):
+        self.speed = speed
+
+    def _run_padded(self, key_list, wav_data, result_set, time_offset_sec):
+        key_results = syncfinder.search(key_list, wav_data, SyncMode.CLIP)
+        n_channels = wav_data.n_channels
+        samples = wav_data.samples
+        for key_result in key_results:
+            key = key_result.key
+            tables = get_key_tables(key)
+            count = tables.frames_per_block
+            for sync_score in key_result.sync_scores:
+                index = sync_score.index
+                db1 = _block_db(samples, n_channels, index, count)
+                db2 = _block_db(samples, n_channels,
+                                index + count * FRAME, count)
+                if db1 is None or db2 is None:
+                    continue
+                raw1 = randomize_bit_order(
+                    tables, mix_or_linear_decode(tables, db1), encode=False)
+                raw2 = randomize_bit_order(
+                    tables, mix_or_linear_decode(tables, db2), encode=False)
+                raw = np.empty(raw1.size * 2, dtype=np.float32)
+                if sync_score.block_type == ConvBlockType.a:
+                    raw[0::2], raw[1::2] = raw1, raw2
+                else:
+                    raw[0::2], raw[1::2] = raw2, raw1
+                bit_vec, decode_error = code_decode_soft(
+                    ConvBlockType.ab, normalize_soft_bits(raw),
+                    return_error=True)
+                if len(bit_vec):
+                    result_set.add_pattern(
+                        key, time_offset_sec, sync_score.quality,
+                        sync_score.block_type, bit_vec, decode_error,
+                        PatternType.CLIP, self.speed)
+
+    def _run_block(self, key_list, wav_data, result_set, pos: str):
+        tables = get_key_tables(key_list[0])
+        frames_per_block = tables.frames_per_block
+        n = (frames_per_block + 5) * FRAME * wav_data.n_channels
+        pad_start = n
+        pad_end = n
+        if pos == "start":
+            first_sample = 0
+            last_sample = min(n, wav_data.n_values)
+            if last_sample < n:
+                pad_start += n - last_sample
+        else:
+            if wav_data.n_values <= n:
+                return
+            first_sample = wav_data.n_values - n
+            last_sample = wav_data.n_values
+        time_offset = first_sample / wav_data.sample_rate / wav_data.n_channels
+        ext = np.concatenate([
+            np.zeros(pad_start, dtype=np.float32),
+            wav_data.samples[first_sample:last_sample],
+            np.zeros(pad_end, dtype=np.float32)])
+        l_wav = wav_data.with_samples(ext)
+        self._run_padded(key_list, l_wav, result_set, time_offset)
+
+    def run(self, key_list, wav_data, result_set: ResultSet):
+        tables = get_key_tables(key_list[0])
+        wav_frames = wav_data.n_values // (FRAME * wav_data.n_channels)
+        if wav_frames < tables.frames_per_block * 3.1:
+            self._run_block(key_list, wav_data, result_set, "start")
+            self._run_block(key_list, wav_data, result_set, "end")

@@ -1,0 +1,309 @@
+"""Watermark embedder: streaming add pipeline.
+
+Reference behavior: src/wmadd.cc — per-1024-frame loop of
+FFT -> apply_frame_mod -> iFFT/OLA -> mix -> limiter, with A/B block
+alternation starting at frame 2*frames_per_block - 250 (partial B-block pad),
+optional resampling to/from 44.1 kHz, a zero-frames skip path for HLS, and
+informational output (Message/Strength/Time/Rate/Channels/Data Blocks/SNR).
+
+TPU design: the per-frame loop becomes tiles of thousands of frames pushed
+through ONE fused jit (window -> rfft -> magnitude-exponent delta -> irfft ->
+overlap-add); per-tile carry state (2 ifft frames, limiter block state,
+resampler tails) keeps it a true streaming pipeline for wav-pipe/stdin use
+while each dispatch is large enough to saturate the chip.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+
+from ..crypto.keys import Key
+from ..io.streams import (AudioInputStream, AudioOutputStream,
+                          create_input_stream, create_output_stream,
+                          StreamError)
+from ..ops.frames import FRAME, embed_delta_frames
+from ..ops.limiter import StreamingLimiter
+from ..ops.resample import StreamingResampler
+from ..params import Encoding, Format, Params, RawFormat
+from ..tables import get_key_tables
+from ..utils.hexbits import bit_vec_to_str
+from ..utils.log import error, info, warning
+from .common import build_ab_frame_mods, parse_payload
+
+# frames per device dispatch: ~2.4 s of audio per tile keeps streaming latency
+# low while dispatches stay large; raise for pure-throughput batch use
+DEFAULT_TILE_FRAMES = 512
+
+
+class StreamingEmbedder:
+    """Generates the watermark *delta* signal for an input stream, tile by
+    tile (the reference's WatermarkGen + WatermarkSynth + WatermarkResampler
+    rolled into one stateful pipeline)."""
+
+    def __init__(self, key: Key, n_channels: int, input_rate: int,
+                 bitvec: np.ndarray, tile_frames: int = DEFAULT_TILE_FRAMES):
+        self.n_channels = n_channels
+        self.tile_frames = tile_frames
+        tables = get_key_tables(key)
+        self.frames_per_block = tables.frames_per_block
+        self.mods_ab = build_ab_frame_mods(tables, bitvec)   # (2*fpb, N_BINS)
+        # start with a partial B-block as padding (src/wmadd.cc:293-296)
+        self.frame_number = 2 * self.frames_per_block - Params.frames_pad_start
+        self.m_data_blocks = 0
+        self.water_delta = Params.water_delta
+
+        self.prev1 = None
+        self.prev2 = None
+        self.first_frame = True
+        self._in_remainder = np.zeros(0, dtype=np.float32)
+
+        self.need_resampler = input_rate != Params.mark_sample_rate
+        if self.need_resampler:
+            self.in_resampler = StreamingResampler(
+                n_channels, input_rate, Params.mark_sample_rate)
+            self.out_resampler = StreamingResampler(
+                n_channels, Params.mark_sample_rate, input_rate)
+
+    def _gen_frames(self, samples44: np.ndarray) -> np.ndarray:
+        """Watermark-rate samples (whole frames) -> delta samples."""
+        n_frames = samples44.size // (FRAME * self.n_channels)
+        assert n_frames * FRAME * self.n_channels == samples44.size
+        if n_frames == 0:
+            return np.zeros(0, dtype=np.float32)
+        frames = samples44.reshape(n_frames, FRAME, self.n_channels)
+        frames = np.ascontiguousarray(frames.transpose(0, 2, 1))
+        phases = (self.frame_number + np.arange(n_frames)) \
+            % (2 * self.frames_per_block)
+        mods = self.mods_ab[phases]
+        out, self.prev1, self.prev2 = embed_delta_frames(
+            frames, mods, self.water_delta, self.prev1, self.prev2)
+        self.m_data_blocks += int(np.sum(
+            (self.frame_number + np.arange(n_frames) + 1)
+            % self.frames_per_block == 0))
+        self.frame_number += n_frames
+        out = np.asarray(out).transpose(0, 2, 1).reshape(-1)
+        if self.first_frame:
+            self.first_frame = False
+            out = out[FRAME * self.n_channels:]  # one-frame synth latency
+        return out
+
+    def run(self, samples: np.ndarray) -> np.ndarray:
+        """Feed input-rate samples; returns available delta samples
+        (input rate)."""
+        if not self.need_resampler:
+            self._in_remainder = np.concatenate([self._in_remainder, samples])
+            vpf = FRAME * self.n_channels
+            n_whole = self._in_remainder.size // vpf * vpf
+            ready = self._in_remainder[:n_whole]
+            self._in_remainder = self._in_remainder[n_whole:]
+            return self._gen_frames(ready)
+
+        self.in_resampler.write_frames(samples)
+        vpf_frames = self.in_resampler.can_read_frames() // FRAME * FRAME
+        if vpf_frames:
+            r_samples = self.in_resampler.read_frames(vpf_frames)
+            wm = self._gen_frames(r_samples)
+            self.out_resampler.write_frames(wm)
+        to_read = self.out_resampler.can_read_frames()
+        return self.out_resampler.read_frames(to_read)
+
+    def flush(self) -> np.ndarray:
+        """Feed zero frames until the pipeline tail is drained; the caller
+        trims to the input length (the reference does the same with its
+        zero-padding read loop)."""
+        out = []
+        zeros = np.zeros(FRAME * self.n_channels, dtype=np.float32)
+        for _ in range(64):
+            out.append(self.run(zeros))
+        return np.concatenate(out)
+
+    def skip(self, zero_frames: int) -> int:
+        """Skip a whole-frame zero lead-in, preserving PRNG frame phase
+        (reference: src/wmadd.cc:251-263,318-325,408-425)."""
+        assert zero_frames % FRAME == 0
+        if not self.need_resampler:
+            self.frame_number += zero_frames // FRAME
+            if self.first_frame and zero_frames > 0:
+                self.first_frame = False
+                return zero_frames - FRAME
+            return zero_frames
+        out = self.in_resampler.skip(zero_frames)
+        assert out % FRAME == 0
+        self.frame_number += out // FRAME
+        if self.first_frame and out > 0:
+            self.first_frame = False
+            out -= FRAME
+        return self.out_resampler.skip(out)
+
+    def data_blocks(self) -> int:
+        return max(self.m_data_blocks - 1, 0)
+
+
+def _info_format(label: str, fmt: RawFormat):
+    enc = {Encoding.SIGNED: "signed", Encoding.UNSIGNED: "unsigned",
+           Encoding.FLOAT: "float"}[fmt.encoding()]
+    endian = "little" if fmt.endian() == RawFormat.Endian.LITTLE else "big"
+    info("%-13s %d Hz, %d Channels, %d Bit (%s %s-endian)\n"
+         % (label + ":", fmt.sample_rate(), fmt.n_channels(),
+            fmt.bit_depth(), enc, endian))
+
+
+def add_stream_watermark(key: Key, in_stream: AudioInputStream,
+                         out_stream: AudioOutputStream, bits: str,
+                         zero_frames: int = 0) -> int:
+    bitvec = parse_payload(bits)
+    if bitvec is None:
+        return 1
+
+    if in_stream.sample_rate() != out_stream.sample_rate():
+        error("audiowmark: input sample rate (%d) and output sample rate "
+              "(%d) don't match\n"
+              % (in_stream.sample_rate(), out_stream.sample_rate()))
+        return 1
+    if in_stream.n_channels() != out_stream.n_channels():
+        error("audiowmark: input channels (%d) and output channels (%d) "
+              "don't match\n"
+              % (in_stream.n_channels(), out_stream.n_channels()))
+        return 1
+
+    info("Message:      %s\n" % bit_vec_to_str(bitvec))
+    info("Strength:     %.6g\n\n" % (Params.water_delta * 1000))
+    if in_stream.n_frames() is None:
+        info("Time:         unknown\n")
+    else:
+        secs = in_stream.n_frames() // in_stream.sample_rate()
+        info("Time:         %d:%02d\n" % (secs // 60, secs % 60))
+    info("Sample Rate:  %d\n" % in_stream.sample_rate())
+    info("Channels:     %d\n" % in_stream.n_channels())
+
+    n_channels = in_stream.n_channels()
+    embedder = StreamingEmbedder(key, n_channels, in_stream.sample_rate(),
+                                 bitvec)
+    limiter = StreamingLimiter(n_channels, in_stream.sample_rate(),
+                               Params.limiter_block_size_ms,
+                               Params.limiter_ceiling)
+
+    snr_delta_power = 0.0
+    snr_signal_power = 0.0
+
+    orig_fifo = np.zeros(0, dtype=np.float32)
+    total_input_frames = 0
+    total_output_frames = 0
+    zero_frames_in = zero_frames
+    zero_frames_out = zero_frames
+
+    if zero_frames_in >= FRAME:
+        skip_frames = zero_frames_in - zero_frames_in % FRAME
+        total_input_frames += skip_frames
+        out = embedder.skip(skip_frames)
+        orig_fifo = np.zeros((skip_frames - out) * n_channels,
+                             dtype=np.float32)
+        out = limiter.skip(out)
+        assert out < zero_frames_out
+        zero_frames_out -= out
+        total_output_frames += out
+        zero_frames_in -= skip_frames
+
+    tile = embedder.tile_frames * FRAME
+    eof = False
+    while True:
+        if zero_frames_in > 0:
+            samples = in_stream.read_frames(tile - zero_frames_in)
+            samples = np.concatenate([
+                np.zeros(zero_frames_in * n_channels, dtype=np.float32),
+                samples])
+            zero_frames_in = 0
+        else:
+            samples = in_stream.read_frames(tile)
+        got_frames = samples.size // n_channels
+        total_input_frames += got_frames
+
+        if got_frames < tile:
+            eof = True
+            if total_input_frames == total_output_frames:
+                break
+            # zero-pad past EOF so the synth/limiter tails drain
+            pad_frames = tile - got_frames
+            samples = np.concatenate([
+                samples, np.zeros(pad_frames * n_channels, dtype=np.float32)])
+
+        orig_fifo = np.concatenate([orig_fifo, samples])
+        delta = embedder.run(samples)
+        n = delta.size
+        orig_samples, orig_fifo = orig_fifo[:n], orig_fifo[n:]
+
+        if Params.snr:
+            snr_delta_power += float(np.sum(np.square(delta.astype(np.float64))))
+            snr_signal_power += float(np.sum(np.square(orig_samples.astype(np.float64))))
+
+        mixed = delta + orig_samples
+        if not Params.test_no_limiter:
+            mixed = limiter.process(mixed)
+
+        max_write = total_input_frames - total_output_frames
+        if mixed.size > max_write * n_channels:
+            mixed = mixed[: max_write * n_channels]
+
+        cut_frames = min(mixed.size // n_channels, zero_frames_out)
+        if cut_frames > 0:
+            mixed = mixed[cut_frames * n_channels:]
+            total_output_frames += cut_frames
+            zero_frames_out -= cut_frames
+
+        out_stream.write_frames(mixed)
+        total_output_frames += mixed.size // n_channels
+        if eof and total_input_frames == total_output_frames:
+            break
+
+    if Params.snr:
+        info("SNR:          %f dB\n"
+             % (10 * np.log10(snr_signal_power / snr_delta_power)))
+    info("Data Blocks:  %d\n" % embedder.data_blocks())
+
+    if in_stream.n_frames() is not None:
+        expect_frames = in_stream.n_frames() + zero_frames
+        if total_output_frames != expect_frames:
+            msg = ("unexpected EOF; input frames (%d) != output frames (%d)"
+                   % (expect_frames, total_output_frames))
+            if Params.strict:
+                error("audiowmark: error: %s\n" % msg)
+                return 1
+            warning("audiowmark: warning: %s\n" % msg)
+
+    out_stream.close()
+    return 0
+
+
+def add_watermark(key: Key, infile: str, outfile: str, bits: str) -> int:
+    try:
+        in_stream = create_input_stream(infile)
+    except (StreamError, OSError) as e:
+        error("audiowmark: error opening %s: %s\n" % (infile, e))
+        return 1
+
+    out_bit_depth = in_stream.bit_depth()
+    out_encoding = in_stream.encoding()
+    if out_bit_depth < 16:
+        out_bit_depth = 16
+        out_encoding = Encoding.SIGNED
+    try:
+        out_stream = create_output_stream(
+            outfile, in_stream.n_channels(), in_stream.sample_rate(),
+            out_bit_depth, out_encoding, in_stream.n_frames())
+    except (StreamError, OSError) as e:
+        error("audiowmark: error writing to %s: %s\n" % (outfile, e))
+        return 1
+
+    info("Input:        %s\n" % (Params.input_label or infile))
+    if Params.input_format == Format.RAW:
+        _info_format("Raw Input", Params.raw_input_format)
+    info("Output:       %s\n" % (Params.output_label or outfile))
+    if Params.output_format == Format.RAW:
+        _info_format("Raw Output", Params.raw_output_format)
+
+    try:
+        return add_stream_watermark(key, in_stream, out_stream, bits, 0)
+    finally:
+        in_stream.close()

@@ -1,0 +1,102 @@
+"""Top-level watermark retrieval (`get`/`cmp`): chunk loop, speed handling,
+result merging and reporting (reference: src/wmget.cc:886-1013)."""
+
+from __future__ import annotations
+
+from typing import List
+
+import numpy as np
+
+from ..crypto.keys import Key
+from ..io.streams import StreamError
+from ..io.wavdata import WavData
+from ..ops.resample import resample_ratio
+from ..params import Params
+from ..utils.log import error
+from .chunkloader import WavChunkLoader
+from .common import parse_payload
+from .decoder import BlockDecoder, ClipDecoder
+from .resultset import ResultSet
+
+
+def _decode(result_set: ResultSet, key_list: List[Key], wav_data: WavData,
+            orig_bits, first_chunk: bool):
+    if Params.detect_speed or Params.detect_speed_patient or Params.try_speed > 0:
+        from .speed import detect_speed
+        if Params.detect_speed or Params.detect_speed_patient:
+            speed_results = detect_speed(key_list, wav_data,
+                                         print_results=bool(len(orig_bits)))
+        else:
+            speed_results = [(key, Params.try_speed) for key in key_list]
+
+        for key, speed in speed_results:
+            wav_speed = resample_ratio(wav_data, speed,
+                                       int(Params.mark_sample_rate * speed))
+            block_decoder = BlockDecoder(speed)
+            block_decoder.run([key], wav_speed, result_set)
+            if first_chunk:
+                clip_decoder = ClipDecoder(speed)
+                clip_decoder.run([key], wav_speed, result_set)
+
+    block_decoder = BlockDecoder(1)
+    block_decoder.run(key_list, wav_data, result_set)
+
+    if first_chunk:
+        clip_decoder = ClipDecoder(1)
+        clip_decoder.run(key_list, wav_data, result_set)
+
+    result_set.debug_sync = block_decoder.debug_sync()
+
+
+def report(result_set: ResultSet, time_length: int, orig_bits) -> int:
+    if Params.json_output:
+        result_set.print_json(time_length, Params.json_output)
+    if Params.json_output != "-":
+        result_set.print()
+    if len(orig_bits):
+        match_count = result_set.print_match_count(list(orig_bits))
+        if result_set.debug_sync:
+            print(result_set.debug_sync, end="")
+        if Params.expect_matches >= 0:
+            print("expect_matches %d" % Params.expect_matches)
+            if match_count != Params.expect_matches:
+                return 1
+        else:
+            if not match_count:
+                return 1
+    return 0
+
+
+def get_watermark(key_list: List[Key], infile: str, orig_pattern: str) -> int:
+    result_set = ResultSet()
+
+    orig_bitvec = []
+    if orig_pattern:
+        parsed = parse_payload(orig_pattern)
+        if parsed is None:
+            return 1
+        orig_bitvec = list(parsed)
+
+    first_chunk = True
+    loader = WavChunkLoader(infile)
+    while not loader.done():
+        try:
+            loader.load_next_chunk()
+        except (StreamError, OSError) as e:
+            error("audiowmark: error loading %s: %s\n" % (infile, e))
+            return 1
+
+        if not loader.done():
+            wav_data = loader.wav_data()
+            assert wav_data.sample_rate == Params.mark_sample_rate
+
+            chunk_result_set = ResultSet()
+            _decode(chunk_result_set, key_list, wav_data, orig_bitvec,
+                    first_chunk)
+            chunk_result_set.apply_time_offset(loader.time_offset())
+            result_set.merge(chunk_result_set)
+            first_chunk = False
+
+    result_set.sort(key_list)
+    time_length = int(round(loader.length()))
+    return report(result_set, time_length, orig_bitvec)

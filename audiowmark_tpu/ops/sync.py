@@ -1,0 +1,305 @@
+"""Sync-search device kernels: hop-256 dB spectrogram, sync-score sweep,
+and the fine refinement pass.
+
+Reference behavior (src/syncfinder.cc): the search computes a dB spectrogram
+of the whole file at 4 time shifts (0/256/512/768) and scores EVERY candidate
+start position by summing up/down band magnitudes over the 510 keyed sync
+frames, converting to a per-bit quality via the (1 - umag/dmag) ratio rule.
+
+TPU design: all 4 shifts collapse into ONE hop-256 spectrogram S (tau, band).
+Per-frame band sums become one big matmul D = S @ V^T against a sparse 0/1
+band-selection matrix V (2 columns per sync frame: up and down) that maps
+onto the MXU.  Scoring every start is then a strided gather of D rows at
+tau + 4*sync_frame offsets plus a reduction per sync bit — the reference's
+#1 hot loop becomes two dense device ops.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ..params import Params
+from ..tables import KeyTables
+from .frames import FRAME, MIN_DB, _LOG2_DB, analysis_window
+
+N_BANDS = Params.max_band - Params.min_band + 1
+HOP = Params.sync_search_step  # 256
+SHIFTS = FRAME // HOP          # 4
+
+
+# ---- sync bit layout ---------------------------------------------------------
+
+@dataclass
+class SyncBits:
+    """Dense sync-bit layout, bit-major ordering.
+
+    n_pos sync-frame positions per bit (85 in BLOCK mode, 170 in CLIP mode,
+    where the second block swaps up and down).  For j = (bit, k):
+      frame[bit, k]  — block-frame position
+      v_up/v_dn      — (6*n_pos, N_BANDS) 0/1 band-selection rows
+    """
+    frame: np.ndarray        # (6, n_pos) int32
+    v: np.ndarray            # (2*6*n_pos, N_BANDS) float32; row 2j=up, 2j+1=dn
+    n_pos: int
+    total_frames: int        # frames per (long) block
+
+
+def build_sync_bits(tables: KeyTables, clip_mode: bool) -> SyncBits:
+    """Mirror of SyncFinder::get_sync_bits (src/syncfinder.cc:30-77)."""
+    sfb = Params.sync_frames_per_bit
+    n_blocks = 2 if clip_mode else 1
+    fpb = tables.frames_per_block
+    n_pos = sfb * n_blocks
+
+    frames = np.zeros((Params.sync_bits, n_pos), dtype=np.int32)
+    v = np.zeros((2 * Params.sync_bits * n_pos, N_BANDS), dtype=np.float32)
+
+    for bit in range(Params.sync_bits):
+        entries = []
+        for f in range(sfb):
+            fidx = bit * sfb + f
+            up = tables.sync_up[fidx] - Params.min_band
+            dn = tables.sync_dn[fidx] - Params.min_band
+            pos = int(tables.pos_vec[fidx])
+            entries.append((pos, up, dn))
+            if clip_mode:
+                entries.append((pos + fpb, dn, up))   # B-after-A swaps up/down
+        entries.sort(key=lambda e: e[0])
+        for k, (pos, up, dn) in enumerate(entries):
+            frames[bit, k] = pos
+            j = bit * n_pos + k
+            v[2 * j, up] = 1.0
+            v[2 * j + 1, dn] = 1.0
+
+    total = fpb * n_blocks
+    return SyncBits(frame=frames, v=v, n_pos=n_pos, total_frames=total)
+
+
+# ---- spectrogram -------------------------------------------------------------
+
+@jax.jit
+def _db_frames(windows: jnp.ndarray, awin: jnp.ndarray) -> jnp.ndarray:
+    """(T, C, FRAME) windows -> (T, N_BANDS) dB summed over channels."""
+    spec = jnp.fft.rfft(windows * awin[None, None, :], axis=-1)
+    spec = spec[:, :, Params.min_band:Params.max_band + 1]
+    abs2 = jnp.real(spec) ** 2 + jnp.imag(spec) ** 2
+    db = jnp.where(abs2 > 0, jnp.log2(abs2) * jnp.float32(_LOG2_DB),
+                   jnp.float32(MIN_DB))
+    return jnp.sum(db, axis=1)
+
+
+def hop_spectrogram(samples: np.ndarray, n_channels: int,
+                    silence_bounds: Optional[Tuple[int, int]] = None
+                    ) -> Tuple[np.ndarray, np.ndarray]:
+    """Hop-256 dB spectrogram over the whole signal.
+
+    Returns (S (n_taus, N_BANDS) float32, have (n_taus,) bool).  Row tau
+    covers samples [tau*HOP, tau*HOP + FRAME); n_taus = 4*(F-1) with
+    F = frame_count, matching the reference's per-shift F-1 frames.
+    silence_bounds (first, last) are raw interleaved sample-value indices for
+    CLIP-mode silence skipping (src/syncfinder.cc:583-585).
+    """
+    x = samples.reshape(-1, n_channels)
+    F = x.shape[0] // FRAME
+    n_taus = SHIFTS * (F - 1)
+    if n_taus <= 0:
+        return (np.zeros((0, N_BANDS), np.float32),
+                np.zeros(0, dtype=bool))
+
+    have = np.ones(n_taus, dtype=bool)
+    if silence_bounds is not None:
+        first, last = silence_bounds
+        taus = np.arange(n_taus)
+        f_first = taus * HOP * n_channels
+        f_last = (taus * HOP + FRAME) * n_channels
+        have = ~((f_last < first) | (f_first > last))
+
+    S = np.zeros((n_taus, N_BANDS), dtype=np.float32)
+    awin = jnp.asarray(analysis_window())
+    TILE = 8192
+    idx_frame = np.arange(FRAME)
+    for t0 in range(0, n_taus, TILE):
+        t1 = min(t0 + TILE, n_taus)
+        sel = np.nonzero(have[t0:t1])[0]
+        if sel.size == 0:
+            continue
+        taus = t0 + sel
+        win_idx = taus[:, None] * HOP + idx_frame[None, :]
+        windows = x[win_idx].transpose(0, 2, 1)         # (T, C, FRAME)
+        db = np.asarray(_db_frames(jnp.asarray(windows), awin))
+        S[taus] = db
+    return S, have
+
+
+# ---- sync score sweep --------------------------------------------------------
+
+@partial(jax.jit, static_argnames=("n_pos",))
+def _sync_scores_tile(D: jnp.ndarray, have: jnp.ndarray, starts: jnp.ndarray,
+                      offsets: jnp.ndarray, n_pos: int,
+                      norm_factor: jnp.ndarray) -> jnp.ndarray:
+    """Score a tile of start taus.
+
+    D: (n_taus, 2*6*n_pos) per-tau up/down band sums
+    have: (n_taus,) float32 — frame availability
+    starts: (T,) int32; offsets: (6*n_pos,) int32 = 4*frame (bit-major)
+    """
+    T = starts.shape[0]
+    rows = starts[:, None] + offsets[None, :]            # (T, 6*n_pos)
+    cols = jnp.arange(offsets.shape[0], dtype=jnp.int32)
+    u = D[rows, 2 * cols[None, :]]
+    d = D[rows, 2 * cols[None, :] + 1]
+    hv = have[rows]
+    u = jnp.sum((u * hv).reshape(T, 6, n_pos), axis=2)
+    d = jnp.sum((d * hv).reshape(T, 6, n_pos), axis=2)
+    cnt = jnp.sum(hv.reshape(T, 6, n_pos), axis=2)
+
+    expect = (jnp.arange(6) & 1).astype(jnp.float32)[None, :]
+    raw = jnp.where((u == 0) | (d == 0), 0.0,
+                    jnp.where(u < d, 1.0 - u / d, d / u - 1.0))
+    q = jnp.where(expect > 0, raw, -raw)
+    total_cnt = jnp.sum(cnt, axis=1)
+    quality = jnp.where(total_cnt > 0,
+                        jnp.sum(q * cnt, axis=1) / jnp.maximum(total_cnt, 1), 0.0)
+    return quality * norm_factor
+
+
+def normalize_factor() -> float:
+    """raw / min(water_delta, 0.08) / 2.9 — src/syncfinder.cc:79-91."""
+    return 1.0 / (min(Params.water_delta, 0.080) * 2.9)
+
+
+def sync_score_sweep(S: np.ndarray, have: np.ndarray,
+                     sync_bits: SyncBits) -> np.ndarray:
+    """Quality for every valid start tau; returns (n_starts,) float32.
+
+    Start tau t corresponds to sample index t*HOP; valid range mirrors the
+    reference's per-shift bound start_frame <= F-2-total_frames.
+    """
+    n_taus = S.shape[0]
+    F = n_taus // SHIFTS + 1
+    n_start_frames = F - 1 - sync_bits.total_frames
+    n_starts = SHIFTS * n_start_frames
+    if n_starts <= 0:
+        return np.zeros(0, dtype=np.float32)
+
+    V = jnp.asarray(sync_bits.v)                      # (2*6*n_pos, N_BANDS)
+    D = jnp.dot(jnp.asarray(S), V.T,
+                preferred_element_type=jnp.float32)   # (n_taus, 2*6*n_pos)
+    have_f = jnp.asarray(have, dtype=jnp.float32)
+    offsets = jnp.asarray(
+        (SHIFTS * sync_bits.frame.reshape(-1)).astype(np.int32))
+    norm = jnp.float32(normalize_factor())
+
+    out = np.empty(n_starts, dtype=np.float32)
+    TILE = 8192
+    for t0 in range(0, n_starts, TILE):
+        t1 = min(t0 + TILE, n_starts)
+        starts = jnp.asarray(np.arange(t0, t1, dtype=np.int32))
+        out[t0:t1] = np.asarray(_sync_scores_tile(
+            D, have_f, starts, offsets, sync_bits.n_pos, norm))
+    return out
+
+
+def local_mean(scores: np.ndarray, distance: int = 20,
+               exclude: int = 4) -> np.ndarray:
+    """Local mean over neighbors j in [-distance,-exclude]U[exclude,distance]
+    with edge-aware counts (src/syncfinder.cc:234-254)."""
+    n = scores.size
+    kernel_idx = np.concatenate([np.arange(-distance, -exclude + 1),
+                                 np.arange(exclude, distance + 1)])
+    csum = np.concatenate([[0.0], np.cumsum(scores, dtype=np.float64)])
+    total = np.zeros(n, dtype=np.float64)
+    count = np.zeros(n, dtype=np.int64)
+    i = np.arange(n)
+    for j in kernel_idx:
+        idx = i + j
+        valid = (idx >= 0) & (idx < n)
+        total[valid] += scores[idx[valid]]
+        count[valid] += 1
+    out = np.where(count > 0, total / np.maximum(count, 1), 0.0)
+    return out.astype(np.float64)
+
+
+# ---- refinement --------------------------------------------------------------
+
+@partial(jax.jit, static_argnames=("n_pos",))
+def _refine_scores(windows: jnp.ndarray, awin: jnp.ndarray, v: jnp.ndarray,
+                   have: jnp.ndarray, n_pos: int,
+                   norm_factor: jnp.ndarray) -> jnp.ndarray:
+    """Quality for P fine positions from their sync-frame windows.
+
+    windows: (P, 6*n_pos, C, FRAME); have: (P, 6*n_pos) float32
+    """
+    P, J = windows.shape[0], windows.shape[1]
+    db = _db_frames(windows.reshape(P * J, *windows.shape[2:]), awin)
+    db = db.reshape(P, J, N_BANDS)
+    u = jnp.einsum("pjb,jb->pj", db, v[0::2])
+    d = jnp.einsum("pjb,jb->pj", db, v[1::2])
+    u = jnp.sum((u * have).reshape(P, 6, n_pos), axis=2)
+    d = jnp.sum((d * have).reshape(P, 6, n_pos), axis=2)
+    cnt = jnp.sum(have.reshape(P, 6, n_pos), axis=2)
+    expect = (jnp.arange(6) & 1).astype(jnp.float32)[None, :]
+    raw = jnp.where((u == 0) | (d == 0), 0.0,
+                    jnp.where(u < d, 1.0 - u / d, d / u - 1.0))
+    q = jnp.where(expect > 0, raw, -raw)
+    total_cnt = jnp.sum(cnt, axis=1)
+    quality = jnp.where(total_cnt > 0,
+                        jnp.sum(q * cnt, axis=1) / jnp.maximum(total_cnt, 1), 0.0)
+    return quality * norm_factor
+
+
+def refine_quality(samples: np.ndarray, n_channels: int,
+                   positions: np.ndarray, sync_bits: SyncBits,
+                   silence_bounds: Optional[Tuple[int, int]] = None
+                   ) -> np.ndarray:
+    """sync_decode quality at arbitrary sample positions (fine refinement).
+
+    Positions whose full (long) block would read past the end get quality
+    NaN (the reference skips them).  Only sync frames are transformed.
+    """
+    x = samples.reshape(-1, n_channels)
+    n_frames_avail = x.shape[0]
+    total = sync_bits.total_frames
+    P = positions.size
+    out = np.full(P, np.nan, dtype=np.float32)
+    ok = positions + total * FRAME <= n_frames_avail
+    ok &= positions >= 0
+    if not ok.any():
+        return out
+
+    pos_ok = positions[ok].astype(np.int64)
+    frames = sync_bits.frame.reshape(-1).astype(np.int64)   # (6*n_pos,)
+    J = frames.size
+    starts = pos_ok[:, None] + frames[None, :] * FRAME      # (P_ok, J)
+
+    have = np.ones((pos_ok.size, J), dtype=np.float32)
+    if silence_bounds is not None:
+        first, last = silence_bounds
+        f_first = starts * n_channels
+        f_last = (starts + FRAME) * n_channels
+        have = (~((f_last < first) | (f_first > last))).astype(np.float32)
+
+    awin = jnp.asarray(analysis_window())
+    v = jnp.asarray(sync_bits.v)
+    norm = jnp.float32(normalize_factor())
+
+    TILE = max(1, (1 << 21) // (J * n_channels))  # bound window memory
+    res = np.empty(pos_ok.size, dtype=np.float32)
+    idx_frame = np.arange(FRAME)
+    for p0 in range(0, pos_ok.size, TILE):
+        p1 = min(p0 + TILE, pos_ok.size)
+        widx = starts[p0:p1, :, None] + idx_frame[None, None, :]
+        windows = x[widx]                        # (P, J, FRAME, C)
+        windows = np.ascontiguousarray(windows.transpose(0, 1, 3, 2))
+        res[p0:p1] = np.asarray(_refine_scores(
+            jnp.asarray(windows), awin, v, jnp.asarray(have[p0:p1]),
+            sync_bits.n_pos, norm))
+    out[ok] = res
+    return out
