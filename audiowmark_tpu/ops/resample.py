@@ -19,6 +19,7 @@ embedder's frame pipeline and implements the reference's 1-second-periodic
 
 from __future__ import annotations
 
+from functools import partial
 from typing import Optional
 
 import numpy as np
@@ -34,7 +35,9 @@ HLEN = 16
 def _filter_params(ratio: float):
     fr = min(1.0, ratio)
     half_width = HLEN / fr                    # taps half-width in input samples
-    half_taps = int(np.ceil(half_width))
+    # round taps up to a multiple of 16 so nearby ratios share one compiled
+    # kernel shape; the extra taps fall outside the window (zero coefficient)
+    half_taps = -(-int(np.ceil(half_width)) // 8) * 8
     n_taps = 2 * half_taps
     return fr, half_width, half_taps, n_taps
 
@@ -57,12 +60,27 @@ def _coeffs(frac: np.ndarray, ratio: float) -> np.ndarray:
     return (fr * sinc * win).astype(np.float32)
 
 
-@jax.jit
-def _resample_dot(xpad: jnp.ndarray, base: jnp.ndarray, coeff: jnp.ndarray):
-    """y[j, c] = sum_m xpad[base[j] + m, c] * coeff[j, m]."""
-    n_taps = coeff.shape[1]
+@partial(jax.jit, static_argnames=("n_taps",))
+def _resample_tile(xpad: jnp.ndarray, base: jnp.ndarray, frac: jnp.ndarray,
+                   fr: jnp.ndarray, half_width: jnp.ndarray, n_taps: int):
+    """One output tile: windowed-sinc coefficients computed on device (f32)
+    fused with the gather + weighted sum.
+
+    y[j, c] = sum_m xpad[base[j] + m, c] * h(frac[j] - (m - half + 1))
+    """
+    half_taps = n_taps // 2
+    m = jnp.arange(n_taps, dtype=jnp.float32)[None, :] - (half_taps - 1)
+    t = frac[:, None] - m
+    x = t * fr
+    sinc = jnp.sinc(x)
+    w_arg = t / half_width
+    win = jnp.where(jnp.abs(w_arg) >= 1.0, 0.0,
+                    0.42 + 0.5 * jnp.cos(jnp.pi * w_arg)
+                    + 0.08 * jnp.cos(2 * jnp.pi * w_arg))
+    coeff = fr * sinc * win
     gathered = xpad[base[:, None] + jnp.arange(n_taps)[None, :]]  # (J, M, C)
-    return jnp.einsum("jmc,jm->jc", gathered, coeff)
+    return jnp.einsum("jmc,jm->jc", gathered, coeff,
+                      preferred_element_type=jnp.float32)
 
 
 def resample_buffer(samples: np.ndarray, n_channels: int, ratio: float,
@@ -91,14 +109,29 @@ def resample_buffer(samples: np.ndarray, n_channels: int, ratio: float,
     base = ip.astype(np.int64)
     base = np.clip(base, 0, in_frames + n_taps - n_taps)  # guard (p>=0 anyway)
 
+    # bucket shapes so XLA compiles once per (tap count, channel) combo
+    # rather than once per input length / ratio
+    fr, half_width, half_taps, n_taps = _filter_params(ratio)
+    XBUCKET = 1 << 16
+    xb = -(-xpad.shape[0] // XBUCKET) * XBUCKET
+    if xb != xpad.shape[0]:
+        xpad = np.concatenate(
+            [xpad, np.zeros((xb - xpad.shape[0], n_channels), np.float32)])
+    xpad_j = jnp.asarray(xpad)
+
     out = np.empty((out_frames, n_channels), dtype=np.float32)
     TILE = 1 << 18
     for start in range(0, out_frames, TILE):
         end = min(start + TILE, out_frames)
-        coeff = _coeffs(frac[start:end], ratio)
-        y = _resample_dot(jnp.asarray(xpad), jnp.asarray(base[start:end]),
-                          jnp.asarray(coeff))
-        out[start:end] = np.asarray(y)
+        n = end - start
+        f = frac[start:end].astype(np.float32)
+        b = base[start:end].astype(np.int32)
+        if n < TILE:  # pad the final tile to the fixed shape
+            f = np.concatenate([f, np.zeros(TILE - n, np.float32)])
+            b = np.concatenate([b, np.zeros(TILE - n, dtype=np.int32)])
+        y = _resample_tile(xpad_j, jnp.asarray(b), jnp.asarray(f),
+                           jnp.float32(fr), jnp.float32(half_width), n_taps)
+        out[start:end] = np.asarray(y)[:n]
     return out.reshape(-1)
 
 

@@ -129,7 +129,7 @@ def sharded_pipeline_step(mesh: Mesh, samples: jnp.ndarray, mods: jnp.ndarray,
         step, mesh=mesh,
         in_specs=(P("dp", "sp", None, None), P("dp", "sp", None)),
         out_specs=P("dp"),
-        check_rep=False)
+        check_vma=False)
     return jax.jit(fn)(samples, mods)
 
 
@@ -148,5 +148,5 @@ def batch_embed_sharded(mesh: Mesh, samples: jnp.ndarray, mods: jnp.ndarray,
         step, mesh=mesh,
         in_specs=(P("dp", "sp", None, None), P("dp", "sp", None)),
         out_specs=P("dp", "sp", None, None),
-        check_rep=False)
+        check_vma=False)
     return jax.jit(fn)(samples, mods)
