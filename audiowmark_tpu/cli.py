@@ -10,10 +10,18 @@ validation) and exit codes.
 
 from __future__ import annotations
 
+import os
 import sys
 from typing import List, Optional
 
 import numpy as np
+
+# test/deployment hook: force a JAX platform before any kernel runs
+# (the container sitecustomize may pre-select a TPU plugin)
+_plat = os.environ.get("AUDIOWMARK_JAX_PLATFORM")
+if _plat:
+    import jax
+    jax.config.update("jax_platforms", _plat)
 
 from . import __version__
 from .crypto.keys import Key
@@ -314,6 +322,39 @@ def parse_add_options(ap: ArgParser):
 
 
 def parse_get_options(ap: ArgParser):
+    # input-side format options (superset of the reference CLI: its get
+    # always sniffs AUTO; we additionally accept explicit raw/wav-pipe input)
+    s = ap.parse_opt_str("--input-format")
+    if s is not None:
+        Params.input_format = parse_format(s)
+    s = ap.parse_opt_str("--format")
+    if s is not None:
+        Params.input_format = parse_format(s)
+    s = ap.parse_opt_str("--raw-input-endian")
+    if s is not None:
+        Params.raw_input_format.set_endian(parse_endian(s))
+    s = ap.parse_opt_str("--raw-endian")
+    if s is not None:
+        Params.raw_input_format.set_endian(parse_endian(s))
+    s = ap.parse_opt_str("--raw-input-encoding")
+    if s is not None:
+        parse_encoding(s, Params.raw_input_format)
+    s = ap.parse_opt_str("--raw-encoding")
+    if s is not None:
+        parse_encoding(s, Params.raw_input_format)
+    i = ap.parse_opt_int("--raw-input-bits")
+    if i is not None:
+        update_raw_bits(Params.raw_input_format, i)
+    i = ap.parse_opt_int("--raw-bits")
+    if i is not None:
+        update_raw_bits(Params.raw_input_format, i)
+    i = ap.parse_opt_int("--raw-channels")
+    if i is not None:
+        Params.raw_input_format.set_channels(i)
+    i = ap.parse_opt_int("--raw-rate")
+    if i is not None:
+        Params.raw_input_format.set_sample_rate(i)
+
     i = ap.parse_opt_int("--test-cut")
     if i is not None:
         Params.test_cut = i

@@ -1,0 +1,404 @@
+"""HLS segment watermarking: hls-prepare / hls-add.
+
+Reference behavior (src/hls.cc): `hls-prepare` validates AAC segments with
+ffprobe, decodes each to count samples (1024-aligned), stores the master
+audio cut to segment+-3s context as FLAC plus a vars blob inside the output
+.ts via the TS piggyback writer; `hls-add` extracts the context, watermarks
+it with `zero_frames = start_pos - prev_size` so the PRNG frame phase matches
+the full-stream timeline, AAC-encodes, drops `prev_ctx/1024` lead-in AAC
+frames and keeps `size/1024` frames, muxing back to MPEG-TS at the original
+presentation timestamp.
+
+Codec work (AAC/FLAC) runs through the ffmpeg CLI, like the reference's use
+of ffmpeg libraries/subprocesses; without ffmpeg on PATH these commands
+report an actionable error (the reference similarly stubs out HLS when built
+without ffmpeg, src/hls.cc:41-55).
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import shutil
+import struct
+import subprocess
+import tempfile
+from typing import Dict, List, Optional
+
+import numpy as np
+
+from ..crypto.keys import Key
+from ..io.streams import AudioInputStream, AudioOutputStream
+from ..io.wavdata import WavData
+from ..params import Params
+from ..utils.log import error, info
+from .mpegts import TSReader, TSWriter
+
+
+def _have_ffmpeg() -> bool:
+    return (shutil.which("ffmpeg") is not None
+            and shutil.which("ffprobe") is not None)
+
+
+def _no_ffmpeg_error() -> int:
+    error("audiowmark: hls support needs the ffmpeg and ffprobe binaries "
+          "on PATH\n")
+    return 1
+
+
+def _run(args: List[str], capture: bool = False):
+    res = subprocess.run(args, capture_output=True, text=not capture)
+    if res.returncode != 0:
+        raise RuntimeError("failed to execute %s: %s"
+                           % (" ".join(args), res.stderr))
+    return res.stdout
+
+
+def ff_decode_to_wavdata(filename: str, fmt: Optional[str] = None) -> WavData:
+    """Decode any ffmpeg-supported input to WavData via a temporary wav."""
+    with tempfile.NamedTemporaryFile(suffix=".wav") as tmp:
+        cmd = ["ffmpeg", "-v", "error", "-nostdin", "-y"]
+        if fmt:
+            cmd += ["-f", fmt]
+        cmd += ["-i", filename, "-f", "wav", tmp.name]
+        _run(cmd)
+        return WavData.load(tmp.name)
+
+
+def _flac_encode(samples: np.ndarray, n_channels: int, rate: int) -> bytes:
+    """Encode float samples to FLAC bytes (16-bit) via ffmpeg."""
+    from ..io.wavfile import encode_samples
+    from ..params import Encoding
+    with tempfile.NamedTemporaryFile(suffix=".flac") as out:
+        raw = encode_samples(samples, 16, Encoding.SIGNED)
+        p = subprocess.run(
+            ["ffmpeg", "-v", "error", "-nostdin", "-y", "-f", "s16le",
+             "-ar", str(rate), "-ac", str(n_channels), "-i", "-",
+             out.name],
+            input=raw, capture_output=True)
+        if p.returncode != 0:
+            raise RuntimeError("flac encode failed: %s" % p.stderr.decode())
+        return open(out.name, "rb").read()
+
+
+def _flac_decode(data: bytes) -> WavData:
+    with tempfile.NamedTemporaryFile(suffix=".flac") as f:
+        f.write(data)
+        f.flush()
+        return ff_decode_to_wavdata(f.name)
+
+
+class MemoryInputStream(AudioInputStream):
+    """Stream over an in-memory WavData (SFInputStream virtual-IO analog)."""
+
+    def __init__(self, wav: WavData):
+        self.wav = wav
+        self.pos = 0
+
+    def bit_depth(self):
+        return self.wav.bit_depth
+
+    def sample_rate(self):
+        return self.wav.sample_rate
+
+    def n_channels(self):
+        return self.wav.n_channels
+
+    def n_frames(self):
+        return self.wav.n_frames
+
+    def read_frames(self, count: int) -> np.ndarray:
+        n = count * self.wav.n_channels
+        out = self.wav.samples[self.pos:self.pos + n]
+        self.pos += out.size
+        return out
+
+
+def _split_adts_frames(data: bytes) -> List[bytes]:
+    """Split an ADTS AAC bitstream into frames (7/9-byte headers with a
+    13-bit frame length field)."""
+    frames = []
+    pos = 0
+    n = len(data)
+    while pos + 7 <= n:
+        if data[pos] != 0xFF or (data[pos + 1] & 0xF0) != 0xF0:
+            pos += 1
+            continue
+        frame_len = ((data[pos + 3] & 0x03) << 11) \
+            | (data[pos + 4] << 3) | (data[pos + 5] >> 5)
+        if frame_len < 7 or pos + frame_len > n:
+            break
+        frames.append(data[pos:pos + frame_len])
+        pos += frame_len
+    return frames
+
+
+class HLSOutputStream(AudioOutputStream):
+    """AAC->MPEG-TS output: buffers watermarked samples, encodes to ADTS,
+    drops/keeps the configured AAC frame window and muxes to mpegts at the
+    original PTS (reference: src/hlsoutputstream.cc)."""
+
+    def __init__(self, n_channels: int, sample_rate: int, bit_depth: int):
+        self._n_channels = n_channels
+        self._sample_rate = sample_rate
+        self._bit_depth = bit_depth
+        self.bit_rate = 0
+        self.channel_layout = ""
+        self._buffer = []
+        self._delete_input_start = 0
+
+    def set_bit_rate(self, r: int):
+        self.bit_rate = r
+
+    def set_channel_layout(self, layout: str):
+        self.channel_layout = layout
+
+    def open(self, filename: str, cut_aac_frames: int, keep_aac_frames: int,
+             pts_start: float, delete_input_start: int):
+        self.filename = filename
+        self.cut_aac_frames = cut_aac_frames
+        self.keep_aac_frames = keep_aac_frames
+        self.pts_start = pts_start
+        self._delete_input_start = delete_input_start
+
+    def sample_rate(self):
+        return self._sample_rate
+
+    def n_channels(self):
+        return self._n_channels
+
+    def write_frames(self, samples: np.ndarray):
+        if self._delete_input_start > 0:
+            n = min(self._delete_input_start * self._n_channels, samples.size)
+            samples = samples[n:]
+            self._delete_input_start -= n // self._n_channels
+        if samples.size:
+            self._buffer.append(np.asarray(samples, dtype=np.float32))
+
+    def close(self):
+        samples = (np.concatenate(self._buffer) if self._buffer
+                   else np.zeros(0, np.float32))
+        with tempfile.NamedTemporaryFile(suffix=".aac") as aac:
+            cmd = ["ffmpeg", "-v", "error", "-nostdin", "-y", "-f", "f32le",
+                   "-ar", str(self._sample_rate),
+                   "-ac", str(self._n_channels), "-i", "-",
+                   "-c:a", "aac"]
+            if self.bit_rate:
+                cmd += ["-b:a", str(self.bit_rate)]
+            if self.channel_layout:
+                cmd += ["-channel_layout", self.channel_layout]
+            cmd += ["-f", "adts", aac.name]
+            p = subprocess.run(cmd, input=samples.tobytes(),
+                               capture_output=True)
+            if p.returncode != 0:
+                raise RuntimeError("aac encode failed: %s"
+                                   % p.stderr.decode())
+            frames = _split_adts_frames(open(aac.name, "rb").read())
+
+        # the encoder adds one frame of priming latency: frame k contains
+        # input samples (k-1)*1024..k*1024 — account for it like the
+        # reference's pts shift comment (src/hls.cc:262-266)
+        start = self.cut_aac_frames + 1
+        kept = frames[start:start + self.keep_aac_frames]
+        with tempfile.NamedTemporaryFile(suffix=".aac") as trimmed:
+            trimmed.write(b"".join(kept))
+            trimmed.flush()
+            _run(["ffmpeg", "-v", "error", "-nostdin", "-y",
+                  "-f", "aac", "-i", trimmed.name,
+                  "-c:a", "copy", "-f", "mpegts",
+                  "-output_ts_offset", "%f" % self.pts_start,
+                  self.filename])
+
+
+def hls_add(key: Key, infile: str, outfile: str, bits: str) -> int:
+    if not _have_ffmpeg():
+        return _no_ffmpeg_error()
+    from ..models.embedder import add_stream_watermark
+
+    reader = TSReader()
+    try:
+        reader.load(infile)
+    except Exception as e:
+        error("hls: %s\n" % e)
+        return 1
+
+    full_flac = reader.find("full.flac")
+    if not full_flac:
+        error("hls: no embedded context found in %s\n" % infile)
+        return 1
+
+    wav = _flac_decode(full_flac.data)
+    in_stream = MemoryInputStream(wav)
+
+    vars_map = reader.parse_vars("vars")
+    required = ["start_pos", "prev_size", "size", "pts_start", "bit_rate",
+                "channel_layout"]
+    missing = [v for v in required if v not in vars_map]
+    if missing:
+        for v in missing:
+            error("audiowmark: hls segment is missing value for required "
+                  "variable '%s'\n" % v)
+        return 1
+
+    start_pos = int(vars_map["start_pos"])
+    prev_size = int(vars_map["prev_size"])
+    size = int(vars_map["size"])
+    pts_start = float(vars_map["pts_start"])
+    bit_rate = int(vars_map["bit_rate"])
+    prev_ctx = min(1024 * 3, prev_size)
+
+    if Params.hls_bit_rate:
+        bit_rate = Params.hls_bit_rate
+
+    out_stream = HLSOutputStream(wav.n_channels, wav.sample_rate,
+                                 wav.bit_depth)
+    out_stream.set_bit_rate(bit_rate)
+    out_stream.set_channel_layout(vars_map["channel_layout"])
+
+    cut_aac_frames = prev_ctx // 1024
+    delete_input_start = prev_size - prev_ctx
+    keep_aac_frames = size // 1024
+    out_stream.open(outfile, cut_aac_frames, keep_aac_frames, pts_start,
+                    delete_input_start)
+
+    rc = add_stream_watermark(key, in_stream, out_stream, bits,
+                              start_pos - prev_size)
+    if rc != 0:
+        return rc
+    info("AAC Bitrate:  %d\n" % bit_rate)
+    return 0
+
+
+def _probe_input_segment(filename: str) -> Dict[str, str]:
+    reader = TSReader()
+    reader.load(filename)
+    if reader.entries():
+        raise RuntimeError("input for hls-prepare must not contain context")
+    out = _run(["ffprobe", "-v", "error", "-print_format", "compact",
+                "-show_streams", filename])
+    params: Dict[str, str] = {}
+    for line in out.splitlines():
+        for kv in line.split("|"):
+            if "=" in kv:
+                k, v = kv.split("=", 1)
+                params[k] = v
+    return params
+
+
+def hls_prepare(in_dir: str, out_dir: str, filename: str,
+                audio_master: str) -> int:
+    if not _have_ffmpeg():
+        return _no_ffmpeg_error()
+
+    in_name = os.path.join(in_dir, filename)
+    try:
+        in_lines = open(in_name).read().splitlines()
+    except OSError:
+        error("audiowmark: error opening input playlist %s\n" % in_name)
+        return 1
+
+    os.makedirs(out_dir, exist_ok=True)
+    out_name = os.path.join(out_dir, filename)
+    if os.path.exists(out_name):
+        error("audiowmark: output file already exists: %s\n" % out_name)
+        return 1
+
+    try:
+        audio_master_data = ff_decode_to_wavdata(audio_master)
+    except Exception:
+        error("audiowmark: failed to load audio master: %s\n" % audio_master)
+        return 1
+
+    segments = []
+    with open(out_name, "w") as out_file:
+        for line in in_lines:
+            out_file.write(line + "\n")
+            if not re.fullmatch(r"\s*(#.*)?", line):
+                segments.append({"name": line, "vars": {}})
+
+    for segment in segments:
+        segname = os.path.join(in_dir, segment["name"])
+        try:
+            params = _probe_input_segment(segname)
+        except Exception as e:
+            error("audiowmark: hls: %s\n" % e)
+            return 1
+        if int(params.get("index", "0")) != 0:
+            error("audiowmark: hls segment '%s' contains more than one "
+                  "stream\n" % segname)
+            return 1
+        if params.get("codec_name") != "aac":
+            error("audiowmark: hls segment '%s' is not encoded using AAC\n"
+                  % segname)
+            return 1
+        if int(params.get("channels", "0")) != audio_master_data.n_channels:
+            error("audiowmark: number of channels mismatch\n")
+            return 1
+        if not params.get("channel_layout"):
+            error("audiowmark: hls segment '%s' has no channel_layout "
+                  "entry\n" % segname)
+            return 1
+        segment["vars"]["channel_layout"] = params["channel_layout"]
+        if not params.get("start_time"):
+            error("audiowmark: hls segment '%s' has no start_time entry\n"
+                  % segname)
+            return 1
+        segment["vars"]["pts_start"] = params["start_time"]
+
+    if not Params.hls_bit_rate:
+        with tempfile.NamedTemporaryFile(suffix=".aac") as tmp:
+            _run(["ffmpeg", "-v", "error", "-nostdin", "-y", "-i", in_name,
+                  "-c:a", "copy", "-f", "adts", tmp.name])
+            seconds = audio_master_data.n_frames / audio_master_data.sample_rate
+            bit_rate = int(os.path.getsize(tmp.name) / seconds * 8)
+        info("AAC Bitrate:  %d (detected)\n" % bit_rate)
+    else:
+        bit_rate = Params.hls_bit_rate
+        info("AAC Bitrate:  %d\n" % bit_rate)
+
+    info("Segments:     %d\n" % len(segments))
+    start_pos = 0
+    for segment in segments:
+        out = ff_decode_to_wavdata(os.path.join(in_dir, segment["name"]),
+                                   fmt="mpegts")
+        seg_size = out.n_frames
+        if seg_size % 1024 != 0:
+            error("audiowmark: hls input segments need 1024-sample "
+                  "alignment (due to AAC)\n")
+            return 1
+
+        ctx_3sec = 3 * out.sample_rate
+        prev_size = min(start_pos, ctx_3sec)
+        seg_with_ctx = prev_size + seg_size + ctx_3sec
+
+        segment["vars"]["start_pos"] = str(start_pos)
+        segment["vars"]["size"] = str(seg_size)
+        segment["vars"]["prev_size"] = str(prev_size)
+        segment["vars"]["bit_rate"] = str(bit_rate)
+
+        nch = audio_master_data.n_channels
+        start_point = min(start_pos - prev_size, audio_master_data.n_frames)
+        end_point = min(start_point + seg_with_ctx,
+                        audio_master_data.n_frames)
+        out_signal = np.zeros(seg_with_ctx * nch, dtype=np.float32)
+        src = audio_master_data.samples[start_point * nch:end_point * nch]
+        out_signal[:src.size] = src
+
+        full_flac = _flac_encode(out_signal, nch,
+                                 audio_master_data.sample_rate)
+
+        writer = TSWriter()
+        writer.append_data("full.flac", full_flac)
+        writer.append_vars("vars", segment["vars"])
+
+        out_segment = os.path.join(out_dir, segment["name"])
+        if os.path.exists(out_segment):
+            error("audiowmark: output file already exists: %s\n"
+                  % out_segment)
+            return 1
+        writer.process(os.path.join(in_dir, segment["name"]), out_segment)
+        start_pos += seg_size
+
+    orig_seconds = start_pos // audio_master_data.sample_rate
+    info("Time:         %d:%02d\n" % (orig_seconds // 60, orig_seconds % 60))
+    return 0
