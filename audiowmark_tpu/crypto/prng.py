@@ -27,7 +27,7 @@ from typing import List, Sequence
 
 import numpy as np
 
-from . import aes
+from . import aes, native
 from .keys import Key
 
 
@@ -116,6 +116,9 @@ def batched_u64(key: Key, seeds: Sequence[int], stream: Stream,
             (s & 0xFFFFFFFFFFFFFFFF).to_bytes(8, "big"), dtype=np.uint8)
         plains[i, 8] = int(stream) & 0xFF
     ivs = aes.encrypt_blocks(rk, plains)
+    out = native.ctr_keystreams_u64(key.aes_key(), ivs, n_u64)
+    if out is not None:
+        return out
     return aes.ctr_keystreams_u64_batch(rk, ivs, n_u64)
 
 
@@ -123,9 +126,13 @@ def batched_shuffle_identity(key: Key, seeds: Sequence[int], stream: Stream,
                              n: int) -> np.ndarray:
     """Fisher-Yates shuffle of arange(n) for every seed at once.
 
-    Returns (len(seeds), n) int32 — vectorized across the seed axis; the
-    per-element loop runs only n times regardless of how many seeds.
+    Returns (len(seeds), n) int32 — native C++ when built, otherwise
+    vectorized across the seed axis (the per-element loop runs only n times
+    regardless of how many seeds).
     """
+    out = native.shuffle_tables(key.aes_key(), list(seeds), int(stream), n)
+    if out is not None:
+        return out
     rand = batched_u64(key, seeds, stream, n)
     B = len(seeds)
     out = np.tile(np.arange(n, dtype=np.int64), (B, 1))
