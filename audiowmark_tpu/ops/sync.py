@@ -95,6 +95,22 @@ def _db_frames(windows: jnp.ndarray, awin: jnp.ndarray) -> jnp.ndarray:
     return jnp.sum(db, axis=1)
 
 
+@partial(jax.jit, static_argnames=("tile",))
+def _hop_spec_tile(xc: jnp.ndarray, start: jnp.ndarray, awin: jnp.ndarray,
+                   tile: int) -> jnp.ndarray:
+    """dB spectrogram rows [start, start+tile) from the hop-chunk view.
+
+    xc: (n_chunks, HOP, C) — the signal cut into hop-sized chunks; window
+    tau is chunks tau..tau+3 concatenated, so windows come from 4 static
+    SLICES instead of a gather (4x faster on TPU).
+    """
+    sl = jax.lax.dynamic_slice_in_dim(xc, start, tile + SHIFTS - 1, axis=0)
+    windows = jnp.concatenate(
+        [sl[k:k + tile] for k in range(SHIFTS)], axis=1)  # (tile, FRAME, C)
+    windows = jnp.swapaxes(windows, 1, 2)
+    return _db_frames(windows, awin)
+
+
 def hop_spectrogram(samples: np.ndarray, n_channels: int,
                     silence_bounds: Optional[Tuple[int, int]] = None
                     ) -> Tuple[np.ndarray, np.ndarray]:
@@ -104,7 +120,9 @@ def hop_spectrogram(samples: np.ndarray, n_channels: int,
     covers samples [tau*HOP, tau*HOP + FRAME); n_taus = 4*(F-1) with
     F = frame_count, matching the reference's per-shift F-1 frames.
     silence_bounds (first, last) are raw interleaved sample-value indices for
-    CLIP-mode silence skipping (src/syncfinder.cc:583-585).
+    CLIP-mode silence skipping (src/syncfinder.cc:583-585).  Masked rows are
+    never used by the sweep (contributions are multiplied by `have`), so the
+    tile kernel computes all rows unconditionally.
     """
     x = samples.reshape(-1, n_channels)
     F = x.shape[0] // FRAME
@@ -121,20 +139,18 @@ def hop_spectrogram(samples: np.ndarray, n_channels: int,
         f_last = (taus * HOP + FRAME) * n_channels
         have = ~((f_last < first) | (f_first > last))
 
-    S = np.zeros((n_taus, N_BANDS), dtype=np.float32)
+    TILE = 16384
+    n_chunks = x.shape[0] // HOP
+    pad_chunks = -(-n_taus // TILE) * TILE + SHIFTS - 1
+    xc = np.zeros((pad_chunks, HOP, n_channels), dtype=np.float32)
+    xc[:n_chunks] = x[: n_chunks * HOP].reshape(n_chunks, HOP, n_channels)
+    xc_j = jnp.asarray(xc)
     awin = jnp.asarray(analysis_window())
-    TILE = 8192
-    idx_frame = np.arange(FRAME)
+
+    S = np.empty((n_taus, N_BANDS), dtype=np.float32)
     for t0 in range(0, n_taus, TILE):
-        t1 = min(t0 + TILE, n_taus)
-        sel = np.nonzero(have[t0:t1])[0]
-        if sel.size == 0:
-            continue
-        taus = t0 + sel
-        win_idx = taus[:, None] * HOP + idx_frame[None, :]
-        windows = x[win_idx].transpose(0, 2, 1)         # (T, C, FRAME)
-        db = np.asarray(_db_frames(jnp.asarray(windows), awin))
-        S[taus] = db
+        db = np.asarray(_hop_spec_tile(xc_j, jnp.int32(t0), awin, TILE))
+        S[t0:min(t0 + TILE, n_taus)] = db[: min(TILE, n_taus - t0)]
     return S, have
 
 

@@ -99,11 +99,12 @@ def build_pipeline():
         limited = (xb.reshape(B, block_size, N_CHANNELS)
                    * scale[:, :, None]).reshape(-1, N_CHANNELS)
 
-        # ---- detect: hop-256 spectrogram ----
+        # ---- detect: hop-256 spectrogram (windows via slices, not gather) ----
         n_taus = sync_ops.SHIFTS * (T - 1)
-        taus = jnp.arange(n_taus)
-        widx = taus[:, None] * sync_ops.HOP + jnp.arange(FRAME)[None, :]
-        windows = limited[widx]                             # (taus, FRAME, C)
+        xc = limited[: (limited.shape[0] // sync_ops.HOP) * sync_ops.HOP]
+        xc = xc.reshape(-1, sync_ops.HOP, N_CHANNELS)
+        windows = jnp.concatenate(
+            [xc[k:k + n_taus] for k in range(sync_ops.SHIFTS)], axis=1)
         wspec = jnp.fft.rfft(jnp.swapaxes(windows, 1, 2)
                              * awin[None, None, :], axis=-1)
         wspec = wspec[..., Params.min_band:Params.max_band + 1]
