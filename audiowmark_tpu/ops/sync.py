@@ -191,12 +191,55 @@ def normalize_factor() -> float:
     return 1.0 / (min(Params.water_delta, 0.080) * 2.9)
 
 
+_slice_sweep_cache = {}
+
+
+def _get_slice_sweep_fn(off_tuple: tuple, n_pos: int, n_starts: int):
+    """Build (and cache) a traced sweep over static slices.
+
+    The sync-frame offsets are compile-time constants per key, so every
+    per-start sum u_b[t] = sum_k D[t + off, col] becomes a sum of STATIC
+    contiguous slices of the transposed band-sum matrix — no gather at all
+    (4x faster than the gather form on TPU, more on CPU).
+    """
+    cache_key = (off_tuple, n_pos, n_starts)
+    fn = _slice_sweep_cache.get(cache_key)
+    if fn is not None:
+        return fn
+
+    def sweep(Dt, norm):
+        us, ds = [], []
+        for b in range(Params.sync_bits):
+            au = 0.0
+            ad = 0.0
+            for k in range(n_pos):
+                j = b * n_pos + k
+                o = off_tuple[j]
+                au = au + jax.lax.slice_in_dim(Dt[2 * j], o, o + n_starts)
+                ad = ad + jax.lax.slice_in_dim(Dt[2 * j + 1], o, o + n_starts)
+            us.append(au)
+            ds.append(ad)
+        u = jnp.stack(us, axis=1)                      # (n_starts, 6)
+        d = jnp.stack(ds, axis=1)
+        expect = (jnp.arange(6) & 1).astype(jnp.float32)[None, :]
+        raw = jnp.where((u == 0) | (d == 0), 0.0,
+                        jnp.where(u < d, 1.0 - u / d, d / u - 1.0))
+        q = jnp.where(expect > 0, raw, -raw)
+        return jnp.mean(q, axis=1) * norm
+
+    fn = jax.jit(sweep)
+    _slice_sweep_cache[cache_key] = fn
+    return fn
+
+
 def sync_score_sweep(S: np.ndarray, have: np.ndarray,
                      sync_bits: SyncBits) -> np.ndarray:
     """Quality for every valid start tau; returns (n_starts,) float32.
 
     Start tau t corresponds to sample index t*HOP; valid range mirrors the
-    reference's per-shift bound start_frame <= F-2-total_frames.
+    reference's per-shift bound start_frame <= F-2-total_frames.  BLOCK mode
+    (no silence mask) uses the static-slice formulation; CLIP mode keeps the
+    masked gather path.
     """
     n_taus = S.shape[0]
     F = n_taus // SHIFTS + 1
@@ -206,12 +249,28 @@ def sync_score_sweep(S: np.ndarray, have: np.ndarray,
         return np.zeros(0, dtype=np.float32)
 
     V = jnp.asarray(sync_bits.v)                      # (2*6*n_pos, N_BANDS)
+    offsets_np = (SHIFTS * sync_bits.frame.reshape(-1)).astype(np.int32)
+    norm = jnp.float32(normalize_factor())
+
+    if bool(np.all(have)):
+        # every frame weighs in on every valid start: counts cancel and the
+        # per-bit mean reduces to a plain average — slice formulation
+        bucket = -(-n_starts // 4096) * 4096
+        need_rows = int(offsets_np.max()) + bucket
+        S_pad = S
+        if need_rows > n_taus:
+            S_pad = np.concatenate(
+                [S, np.zeros((need_rows - n_taus, S.shape[1]), np.float32)])
+        Dt = jnp.dot(V, jnp.asarray(S_pad).T,
+                     preferred_element_type=jnp.float32)
+        fn = _get_slice_sweep_fn(tuple(int(o) for o in offsets_np),
+                                 sync_bits.n_pos, bucket)
+        return np.asarray(fn(Dt, norm))[:n_starts]
+
     D = jnp.dot(jnp.asarray(S), V.T,
                 preferred_element_type=jnp.float32)   # (n_taus, 2*6*n_pos)
     have_f = jnp.asarray(have, dtype=jnp.float32)
-    offsets = jnp.asarray(
-        (SHIFTS * sync_bits.frame.reshape(-1)).astype(np.int32))
-    norm = jnp.float32(normalize_factor())
+    offsets = jnp.asarray(offsets_np)
 
     out = np.empty(n_starts, dtype=np.float32)
     TILE = 8192

@@ -51,8 +51,7 @@ def build_pipeline():
     awin = jnp.asarray(analysis_window())
     swin = jnp.asarray(synthesis_window())
     V = jnp.asarray(sync_bits.v)
-    offsets = jnp.asarray(
-        (sync_ops.SHIFTS * sync_bits.frame.reshape(-1)).astype(np.int32))
+    offsets_np = (sync_ops.SHIFTS * sync_bits.frame.reshape(-1)).astype(np.int32)
     n_pos = sync_bits.n_pos
     total_frames = sync_bits.total_frames
     norm = jnp.float32(sync_ops.normalize_factor())
@@ -98,6 +97,7 @@ def build_pipeline():
         scale = s0[:, None] + ramp[None, :] * (s1 - s0)[:, None]
         limited = (xb.reshape(B, block_size, N_CHANNELS)
                    * scale[:, :, None]).reshape(-1, N_CHANNELS)
+        limited = jnp.concatenate([limited, flat[B * block_size:]], axis=0)
 
         # ---- detect: hop-256 spectrogram (windows via slices, not gather) ----
         n_taus = sync_ops.SHIFTS * (T - 1)
@@ -113,14 +113,22 @@ def build_pipeline():
                        jnp.float32(-96.0))
         S = jnp.sum(db, axis=1)                             # (taus, bands)
 
-        # ---- sync score sweep ----
-        D = jnp.dot(S, V.T, preferred_element_type=jnp.float32)
+        # ---- sync score sweep (static slices of the transposed band sums) ----
+        Dt = jnp.dot(V, S.T, preferred_element_type=jnp.float32)
         n_starts = max(sync_ops.SHIFTS * (T - 1 - total_frames), 1)
-        starts = jnp.arange(n_starts, dtype=jnp.int32)
-        rows = jnp.minimum(starts[:, None] + offsets[None, :], n_taus - 1)
-        cols = jnp.arange(offsets.shape[0], dtype=jnp.int32)
-        u = jnp.sum(D[rows, 2 * cols[None, :]].reshape(-1, 6, n_pos), axis=2)
-        d = jnp.sum(D[rows, 2 * cols[None, :] + 1].reshape(-1, 6, n_pos), axis=2)
+        us, ds = [], []
+        for b in range(6):
+            au = 0.0
+            ad = 0.0
+            for k in range(n_pos):
+                j = b * n_pos + k
+                o = int(offsets_np[j])
+                au = au + jax.lax.slice_in_dim(Dt[2 * j], o, o + n_starts)
+                ad = ad + jax.lax.slice_in_dim(Dt[2 * j + 1], o, o + n_starts)
+            us.append(au)
+            ds.append(ad)
+        u = jnp.stack(us, 1)
+        d = jnp.stack(ds, 1)
         expect = (jnp.arange(6) & 1).astype(jnp.float32)[None, :]
         raw = jnp.where((u == 0) | (d == 0), 0.0,
                         jnp.where(u < d, 1.0 - u / d, d / u - 1.0))
