@@ -30,3 +30,22 @@ def code_decode_soft(block_type: ConvBlockType, coded_bits,
     if Params.payload_short:
         return short_decode_soft(block_type, coded_bits, return_error)
     return conv_decode_soft(block_type, coded_bits, return_error)
+
+
+def code_decode_soft_batch(block_type: ConvBlockType, coded_batch):
+    """Batched soft decode: (B, n_coded) -> list of (bits, error).
+
+    Short-payload mode runs the Viterbi stage batched and the exhaustive
+    codeword match per row (an empty bits array marks a detection failure).
+    """
+    from .convcode import conv_decode_soft_batch
+    from .shortcode import short_decode_blk
+
+    inner, errs = conv_decode_soft_batch(block_type, np.asarray(coded_batch))
+    out = []
+    for i in range(inner.shape[0]):
+        bits = inner[i]
+        if Params.payload_short:
+            bits = short_decode_blk(bits)
+        out.append((bits, float(errs[i])))
+    return out

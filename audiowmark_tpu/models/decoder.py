@@ -23,6 +23,7 @@ import jax
 import jax.numpy as jnp
 
 from ..codec import ConvBlockType, code_decode_soft, code_size
+from ..codec.dispatch import code_decode_soft_batch
 from ..crypto.keys import Key
 from ..ops.frames import FRAME, MIN_DB, _LOG2_DB, analysis_window
 from ..params import Params
@@ -102,6 +103,30 @@ def normalize_soft_bits(soft_bits: np.ndarray) -> np.ndarray:
 
 # ---- block decoder -----------------------------------------------------------
 
+class _DecodeJobs:
+    """Queue of soft-bit Viterbi decodes, executed batched per block type
+    (the reference runs these on its thread pool; here each group is one
+    vmap'd lax.scan)."""
+
+    def __init__(self):
+        self.jobs = []
+
+    def add(self, block_type: ConvBlockType, soft_bits: np.ndarray, emit):
+        self.jobs.append((block_type, soft_bits, emit))
+
+    def flush(self):
+        for bt in (ConvBlockType.a, ConvBlockType.b, ConvBlockType.ab):
+            group = [(soft, emit) for t, soft, emit in self.jobs if t == bt]
+            if not group:
+                continue
+            batch = np.stack([soft for soft, _ in group])
+            for (bits, err), (_, emit) in zip(
+                    code_decode_soft_batch(bt, batch), group):
+                if len(bits):
+                    emit(bits, err)
+        self.jobs = []
+
+
 @dataclass
 class _PatternRawBits:
     index: int
@@ -122,6 +147,7 @@ class BlockDecoder:
         n_channels = wav_data.n_channels
         samples = wav_data.samples
 
+        jobs = _DecodeJobs()
         for key_result in self.key_results:
             key = key_result.key
             tables = get_key_tables(key)
@@ -139,21 +165,24 @@ class BlockDecoder:
                     sync_score.block_type))
 
                 time = sync_score.index / wav_data.sample_rate
-                bit_vec, decode_error = code_decode_soft(
-                    sync_score.block_type, normalize_soft_bits(raw_bits),
-                    return_error=True)
-                if len(bit_vec):
-                    result_set.add_pattern(
-                        key, time, sync_score.quality, sync_score.block_type,
-                        bit_vec, decode_error, PatternType.BLOCK, self.speed)
 
-            self._join_ab(key, tables, pattern_raw, wav_data, result_set)
-            self._all_chain(key, tables, pattern_raw, result_set)
+                def emit(bits, err, key=key, time=time, ss=sync_score):
+                    result_set.add_pattern(
+                        key, time, ss.quality, ss.block_type, bits, err,
+                        PatternType.BLOCK, self.speed)
+
+                jobs.add(sync_score.block_type,
+                         normalize_soft_bits(raw_bits), emit)
+
+            self._join_ab(key, tables, pattern_raw, wav_data, result_set,
+                          jobs)
+            self._all_chain(key, tables, pattern_raw, result_set, jobs)
+        jobs.flush()
 
         self.debug_sync_frame_count = (
             wav_data.n_values // wav_data.n_channels // FRAME)
 
-    def _join_ab(self, key, tables, pattern_raw, wav_data, result_set):
+    def _join_ab(self, key, tables, pattern_raw, wav_data, result_set, jobs):
         """A block followed by B block at the right distance -> AB decode."""
         count = tables.frames_per_block
         for i, pat_b in enumerate(pattern_raw):
@@ -174,16 +203,17 @@ class BlockDecoder:
                 ab_bits[0::2] = a_pat.raw_bit_vec
                 ab_bits[1::2] = pat_b.raw_bit_vec
                 time = pat_b.index / wav_data.sample_rate
-                bit_vec, decode_error = code_decode_soft(
-                    ConvBlockType.ab, normalize_soft_bits(ab_bits),
-                    return_error=True)
-                if len(bit_vec):
-                    quality = (a_pat.quality + pat_b.quality) / 2
-                    result_set.add_pattern(
-                        key, time, quality, ConvBlockType.ab, bit_vec,
-                        decode_error, PatternType.BLOCK, self.speed)
+                quality = (a_pat.quality + pat_b.quality) / 2
 
-    def _all_chain(self, key, tables, pattern_raw, result_set):
+                def emit(bits, err, key=key, time=time, quality=quality):
+                    result_set.add_pattern(
+                        key, time, quality, ConvBlockType.ab, bits, err,
+                        PatternType.BLOCK, self.speed)
+
+                jobs.add(ConvBlockType.ab, normalize_soft_bits(ab_bits),
+                         emit)
+
+    def _all_chain(self, key, tables, pattern_raw, result_set, jobs):
         """Greedy chain of blocks at expected spacing with A/B alternation;
         average soft bits over the best chain (src/wmget.cc:606-701)."""
         if not pattern_raw:
@@ -238,12 +268,13 @@ class BlockDecoder:
             raw_all[1::2] /= max(norm[1], 1)
             quality /= (norm[0] + norm[1])
             soft = normalize_soft_bits(raw_all.astype(np.float32))
-            bit_vec, decode_error = code_decode_soft(
-                ConvBlockType.ab, soft, return_error=True)
-            if len(bit_vec):
+
+            def emit(bits, err, key=key, quality=quality):
                 result_set.add_pattern(
-                    key, 0.0, quality, ConvBlockType.ab, bit_vec,
-                    decode_error, PatternType.ALL, self.speed)
+                    key, 0.0, quality, ConvBlockType.ab, bits, err,
+                    PatternType.ALL, self.speed)
+
+            jobs.add(ConvBlockType.ab, soft, emit)
 
     def debug_sync(self) -> str:
         """sync_match debug line (exactly one key; src/wmget.cc:707-734)."""
@@ -277,6 +308,7 @@ class ClipDecoder:
         key_results = syncfinder.search(key_list, wav_data, SyncMode.CLIP)
         n_channels = wav_data.n_channels
         samples = wav_data.samples
+        jobs = _DecodeJobs()
         for key_result in key_results:
             key = key_result.key
             tables = get_key_tables(key)
@@ -297,14 +329,13 @@ class ClipDecoder:
                     raw[0::2], raw[1::2] = raw1, raw2
                 else:
                     raw[0::2], raw[1::2] = raw2, raw1
-                bit_vec, decode_error = code_decode_soft(
-                    ConvBlockType.ab, normalize_soft_bits(raw),
-                    return_error=True)
-                if len(bit_vec):
+                def emit(bits, err, key=key, ss=sync_score):
                     result_set.add_pattern(
-                        key, time_offset_sec, sync_score.quality,
-                        sync_score.block_type, bit_vec, decode_error,
-                        PatternType.CLIP, self.speed)
+                        key, time_offset_sec, ss.quality, ss.block_type,
+                        bits, err, PatternType.CLIP, self.speed)
+
+                jobs.add(ConvBlockType.ab, normalize_soft_bits(raw), emit)
+        jobs.flush()
 
     def _run_block(self, key_list, wav_data, result_set, pos: str):
         tables = get_key_tables(key_list[0])
