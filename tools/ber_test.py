@@ -1,0 +1,138 @@
+#!/usr/bin/env python3
+"""Bit-error-rate / frame-error-rate robustness suite.
+
+Python equivalent of the reference's ber-test.sh / fer-test.sh harnesses:
+for each input file and each random payload, embed, optionally run a lossy
+transform (mp3/ogg via ffmpeg, resample, speed change), decode, and report
+per-pattern bit error rates and the frame (payload) error rate.
+
+    python tools/ber_test.py <wav...> [--seeds N] [--strength S]
+                             [--transform none|mp3:BITRATE|ogg:QUALITY|
+                              resample:RATE|speed:FACTOR]
+
+Each transform needs ffmpeg on PATH except resample/speed (self-hosted).
+"""
+
+import argparse
+import os
+import shutil
+import subprocess
+import sys
+import tempfile
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np  # noqa: E402
+
+from audiowmark_tpu.cli import main as cli_main  # noqa: E402
+from audiowmark_tpu.params import Params  # noqa: E402
+from audiowmark_tpu.utils.hexbits import bit_str_to_vec  # noqa: E402
+
+
+def run_cli(args):
+    Params.reset()
+    return cli_main(args)
+
+
+def transform(kind, src, dst):
+    if kind == "none":
+        shutil.copy(src, dst)
+        return
+    if kind.startswith("resample:"):
+        rate = kind.split(":")[1]
+        assert run_cli(["test-resample", src, dst, rate]) == 0
+        return
+    if kind.startswith("speed:"):
+        factor = kind.split(":")[1]
+        assert run_cli(["test-change-speed", src, dst, factor]) == 0
+        return
+    if kind.startswith("mp3:"):
+        bitrate = kind.split(":")[1]
+        with tempfile.NamedTemporaryFile(suffix=".mp3") as tmp:
+            subprocess.run(["ffmpeg", "-v", "error", "-nostdin", "-y", "-i",
+                            src, "-b:a", bitrate + "k", tmp.name], check=True)
+            subprocess.run(["ffmpeg", "-v", "error", "-nostdin", "-y", "-i",
+                            tmp.name, dst], check=True)
+        return
+    if kind.startswith("ogg:"):
+        quality = kind.split(":")[1]
+        with tempfile.NamedTemporaryFile(suffix=".ogg") as tmp:
+            subprocess.run(["ffmpeg", "-v", "error", "-nostdin", "-y", "-i",
+                            src, "-c:a", "libvorbis", "-q:a", quality,
+                            tmp.name], check=True)
+            subprocess.run(["ffmpeg", "-v", "error", "-nostdin", "-y", "-i",
+                            tmp.name, dst], check=True)
+        return
+    raise SystemExit("unknown transform %r" % kind)
+
+
+def decode_patterns(wav, capline_file):
+    """Run cmp-like decode, capture pattern lines."""
+    import contextlib
+    import io
+    Params.reset()
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        cli_main(["get", wav])
+    patterns = []
+    for line in buf.getvalue().splitlines():
+        parts = line.split()
+        if parts and parts[0] == "pattern":
+            patterns.append(parts[2])
+    return patterns
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("inputs", nargs="+")
+    ap.add_argument("--seeds", type=int, default=3)
+    ap.add_argument("--strength", default="10")
+    ap.add_argument("--transform", default="none")
+    args = ap.parse_args()
+
+    rng = np.random.RandomState(42)
+    total_bits = 0
+    error_bits = 0
+    frames = 0
+    frame_errors = 0
+
+    with tempfile.TemporaryDirectory() as tmpdir:
+        for infile in args.inputs:
+            for seed in range(args.seeds):
+                msg_bits = rng.randint(0, 2, 128)
+                msg = "".join("%x" % int("".join(map(str, msg_bits[i:i + 4])), 2)
+                              for i in range(0, 128, 4))
+                wm = os.path.join(tmpdir, "wm.wav")
+                attacked = os.path.join(tmpdir, "attacked.wav")
+                assert run_cli(["-q", "add", "--strength", args.strength,
+                                infile, wm, msg]) == 0
+                transform(args.transform, wm, attacked)
+
+                patterns = decode_patterns(attacked, None)
+                frames += 1
+                if not patterns:
+                    frame_errors += 1
+                    total_bits += 128
+                    error_bits += 128  # count a lost frame as all-wrong
+                    continue
+                best = min(
+                    patterns,
+                    key=lambda p: int(np.sum(np.array(bit_str_to_vec(p))
+                                             != msg_bits)))
+                errs = int(np.sum(np.array(bit_str_to_vec(best)) != msg_bits))
+                total_bits += 128
+                error_bits += errs
+                if errs:
+                    frame_errors += 1
+
+    print("transform=%s strength=%s files=%d seeds=%d"
+          % (args.transform, args.strength, len(args.inputs), args.seeds))
+    print("ber %.6f (%d/%d)" % (error_bits / max(total_bits, 1),
+                                error_bits, total_bits))
+    print("fer %.6f (%d/%d)" % (frame_errors / max(frames, 1),
+                                frame_errors, frames))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
