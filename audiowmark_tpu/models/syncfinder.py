@@ -172,14 +172,26 @@ def search(key_list: List[Key], wav_data, mode: SyncMode) -> List[KeyResult]:
             n_max = max(Params.get_n_best, 5)
             scores = sorted(scores, key=lambda s: -s.abs_quality())[:n_max]
 
-        # ---- refine: +-256 around each candidate in steps of 8 ----
-        refined = []
+        # ---- refine: +-256 around each candidate in steps of 8,
+        #      all candidates' fine positions in one batched device pass ----
+        all_positions = []
+        spans = []
         for score in scores:
             start = max(score.index - Params.sync_search_step, 0)
             end = score.index + Params.sync_search_step
             positions = np.arange(start, end + 1, Params.sync_search_fine)
-            quals = sync_ops.refine_quality(samples, n_channels, positions,
-                                            sync_bits, silence_bounds)
+            spans.append((len(all_positions),
+                          len(all_positions) + positions.size))
+            all_positions.extend(positions)
+        quals_all = (sync_ops.refine_quality(
+            samples, n_channels, np.asarray(all_positions, dtype=np.int64),
+            sync_bits, silence_bounds)
+            if all_positions else np.zeros(0, np.float32))
+
+        refined = []
+        for score, (lo, hi) in zip(scores, spans):
+            positions = all_positions[lo:hi]
+            quals = quals_all[lo:hi]
             best_quality = score.raw_quality
             best_index = score.index
             for pos, q in zip(positions, quals):

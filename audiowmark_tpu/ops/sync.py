@@ -365,7 +365,8 @@ def refine_quality(samples: np.ndarray, n_channels: int,
     v = jnp.asarray(sync_bits.v)
     norm = jnp.float32(normalize_factor())
 
-    TILE = max(1, (1 << 21) // (J * n_channels))  # bound window memory
+    # bound window memory: each position materializes J*C*FRAME floats
+    TILE = max(1, (64 << 20) // (J * n_channels * FRAME * 4))
     res = np.empty(pos_ok.size, dtype=np.float32)
     idx_frame = np.arange(FRAME)
     for p0 in range(0, pos_ok.size, TILE):
