@@ -1,0 +1,95 @@
+"""Fleet-scale batch watermarking: many streams per device dispatch.
+
+This is the throughput API the reference cannot offer: a (dp, sp)-sharded
+embed of a whole batch of audio streams in one device program, plus a
+vectorized limiter.  Streams are independent, so scaling is linear in chips;
+within a stream the frame axis shards over sp with a 1-frame ppermute halo
+(see parallel/mesh.py).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ..crypto.keys import Key
+from ..models.common import build_ab_frame_mods, parse_payload
+from ..ops.frames import FRAME
+from ..params import Params
+from ..tables import get_key_tables
+from .mesh import Mesh, batch_embed_sharded, make_mesh
+
+
+@jax.jit
+def _limiter_batch(x: jnp.ndarray, block_size: int = Params.mark_sample_rate,
+                   ceiling: float = Params.limiter_ceiling) -> jnp.ndarray:
+    """Vectorized lookahead limiter over (B, n_samples, C); the trailing
+    partial block is zero-padded through like the streamed reference."""
+    B_streams, n, C = x.shape
+    nb = -(-n // block_size)
+    pad = nb * block_size - n
+    if pad:
+        x = jnp.concatenate(
+            [x, jnp.zeros((B_streams, pad, C), x.dtype)], axis=1)
+    xb = x.reshape(B_streams, nb, block_size * C)
+    maxes = jnp.maximum(jnp.max(jnp.abs(xb), axis=2), ceiling)
+    prev = jnp.concatenate(
+        [jnp.full((B_streams, 1), ceiling), maxes[:, :-1]], axis=1)
+    nxt = jnp.concatenate(
+        [maxes[:, 1:], jnp.full((B_streams, 1), ceiling)], axis=1)
+    s0 = ceiling / jnp.maximum(prev, maxes)
+    s1 = ceiling / jnp.maximum(maxes, nxt)
+    ramp = jnp.arange(block_size, dtype=jnp.float32) / block_size
+    scale = s0[:, :, None] + ramp[None, None, :] * (s1 - s0)[:, :, None]
+    out = xb.reshape(B_streams, nb, block_size, C) * scale[..., None]
+    return out.reshape(B_streams, nb * block_size, C)[:, :n]
+
+
+def watermark_batch(key: Key, audio: np.ndarray, message_hex: str,
+                    mesh: Optional[Mesh] = None,
+                    apply_limiter: bool = True) -> np.ndarray:
+    """Watermark a batch of equal-length streams.
+
+    audio: (B, n_samples, C) float32 at the watermark rate (44.1 kHz).
+    n_samples is truncated to whole frames; the frame count must divide by
+    the mesh's sp extent (pad beforehand if needed).
+    Returns the watermarked batch with the same shape.
+    """
+    assert audio.ndim == 3
+    if mesh is None:
+        mesh = make_mesh()
+    bitvec = parse_payload(message_hex)
+    if bitvec is None:
+        raise ValueError("cannot parse message %r" % message_hex)
+
+    tables = get_key_tables(key)
+    mods_ab = build_ab_frame_mods(tables, bitvec)
+
+    B_streams, n_samples, C = audio.shape
+    T = n_samples // FRAME
+    sp = mesh.devices.shape[1]
+    dp = mesh.devices.shape[0]
+    assert T % sp == 0, "frame count %d must divide sp=%d" % (T, sp)
+    assert B_streams % dp == 0, "batch %d must divide dp=%d" % (B_streams, dp)
+
+    frames = np.ascontiguousarray(
+        audio[:, : T * FRAME].reshape(B_streams, T, FRAME, C)
+        .transpose(0, 1, 3, 2))
+    phases = (2 * tables.frames_per_block - Params.frames_pad_start
+              + np.arange(T)) % mods_ab.shape[0]
+    mods = np.broadcast_to(mods_ab[phases], (B_streams, T, mods_ab.shape[1]))
+
+    marked = batch_embed_sharded(mesh, jnp.asarray(frames),
+                                 jnp.asarray(np.ascontiguousarray(mods)),
+                                 Params.water_delta)
+    marked = jnp.swapaxes(marked, 2, 3).reshape(B_streams, T * FRAME, C)
+    if n_samples > T * FRAME:
+        marked = jnp.concatenate(
+            [marked, jnp.asarray(audio[:, T * FRAME:])], axis=1)
+    if apply_limiter:
+        marked = _limiter_batch(marked)
+    return np.asarray(marked)
