@@ -51,3 +51,19 @@ def debug(msg: str):
 def get_time() -> float:
     """Monotonic wall-clock seconds (reference: src/utils.cc:35-43)."""
     return time.monotonic()
+
+
+def print_memory_usage(label: str = ""):
+    """Peak/current RSS to stderr (reference: src/utils.cc:45-81)."""
+    try:
+        import resource
+        peak_kb = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss
+        with open("/proc/self/statm") as f:
+            rss_pages = int(f.read().split()[1])
+        import os
+        rss_kb = rss_pages * os.sysconf("SC_PAGE_SIZE") // 1024
+        info("memory usage%s: peak %.1f MB, current %.1f MB\n"
+             % ((" " + label if label else ""), peak_kb / 1024,
+                rss_kb / 1024))
+    except (OSError, ImportError, ValueError):
+        pass

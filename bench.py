@@ -13,11 +13,19 @@ vs_baseline is measured against the >=1000x-realtime north star
 """
 
 import json
+import os
 import time
 
 import numpy as np
 
 import jax
+
+# persist compiled executables across runs (first compile through the
+# remote-TPU tunnel is minutes; subsequent runs hit this cache)
+jax.config.update("jax_compilation_cache_dir",
+                  os.environ.get("JAX_CACHE_DIR", "/tmp/jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
+
 import jax.numpy as jnp
 
 from audiowmark_tpu.codec.convcode import (
