@@ -114,20 +114,26 @@ def _viterbi_core(coded: jnp.ndarray, s_table: jnp.ndarray, rate: int):
     bm = c_sq - 2.0 * jnp.dot(c, s_table.T,
                               preferred_element_type=jnp.float32) + s_sum
 
-    init = jnp.full((STATE_COUNT,), _BIG, dtype=jnp.float32).at[0].set(0.0)
+    if jax.default_backend() == "tpu":
+        # in-VMEM trellis (bit-exact with the scan; see ops/viterbi_pallas)
+        from ..ops.viterbi_pallas import viterbi_acs_pallas
+        decisions, metric2d = viterbi_acs_pallas(bm)
+        final_err = metric2d.reshape(-1)[0] / jnp.float32(coded.shape[0])
+    else:
+        init = jnp.full((STATE_COUNT,), _BIG, dtype=jnp.float32).at[0].set(0.0)
 
-    def acs_step(metric, bm_t):
-        lo = metric[: STATE_COUNT // 2]
-        hi = metric[STATE_COUNT // 2:]
-        # predecessor p_a = s>>1 (lo index), p_b = s>>1 + 2^14 (hi index);
-        # strict-less: hi wins only if strictly better (matches reference)
-        decision = hi < lo
-        best = jnp.where(decision, hi, lo)
-        new_metric = jnp.repeat(best, 2) + bm_t
-        return new_metric, jnp.repeat(decision, 2)
+        def acs_step(metric, bm_t):
+            lo = metric[: STATE_COUNT // 2]
+            hi = metric[STATE_COUNT // 2:]
+            # predecessor p_a = s>>1 (lo), p_b = s>>1 + 2^14 (hi);
+            # strict-less: hi wins only if strictly better (matches reference)
+            decision = hi < lo
+            best = jnp.where(decision, hi, lo)
+            new_metric = jnp.repeat(best, 2) + bm_t
+            return new_metric, jnp.repeat(decision, 2)
 
-    final_metric, decisions = jax.lax.scan(acs_step, init, bm)
-    final_err = final_metric[0] / jnp.float32(coded.shape[0])
+        final_metric, decisions = jax.lax.scan(acs_step, init, bm)
+        final_err = final_metric[0] / jnp.float32(coded.shape[0])
 
     def traceback_step(state, dec_t):
         bit = state & 1
