@@ -158,15 +158,20 @@ def build_pipeline():
 def main():
     step = build_pipeline()
 
-    # compile + warmup
+    # compile + warmup (float() forces a real device->host fetch; plain
+    # block_until_ready may not synchronize through remote-TPU tunnels)
     t0 = time.monotonic()
-    step(0).block_until_ready()
+    float(step(0))
     compile_s = time.monotonic() - t0
+    for w in range(3):
+        float(step(w))
 
-    iters = 5
+    iters = 10
     t0 = time.monotonic()
+    acc = 0.0
     for i in range(iters):
-        step(i + 1).block_until_ready()
+        acc += step(i + 1)
+    float(acc)
     elapsed = time.monotonic() - t0
 
     audio_seconds = AUDIO_SECONDS * iters
