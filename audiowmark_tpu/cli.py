@@ -23,6 +23,14 @@ if _plat:
     import jax
     jax.config.update("jax_platforms", _plat)
 
+# persist compiled executables across CLI invocations (first TPU compile of
+# the embed/decode kernels is expensive; every later run hits this cache)
+if os.environ.get("AUDIOWMARK_JAX_CACHE", "1") != "0":
+    import jax
+    jax.config.update("jax_compilation_cache_dir",
+                      os.environ.get("JAX_CACHE_DIR", "/tmp/jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
+
 from . import __version__
 from .crypto.keys import Key
 from .crypto.prng import Random, Stream, gen_key as gen_key_hex

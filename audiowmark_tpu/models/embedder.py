@@ -206,9 +206,14 @@ def add_stream_watermark(key: Key, in_stream: AudioInputStream,
         total_output_frames += out
         zero_frames_in -= skip_frames
 
-    tile = embedder.tile_frames * FRAME
+    # ramp the tile size up: small first tiles give low time-to-first-byte
+    # for streaming use (the reference's 1-frame pipeline), large steady-state
+    # tiles keep device dispatches big
+    tile_frames = 16
     eof = False
     while True:
+        tile = tile_frames * FRAME
+        tile_frames = min(tile_frames * 2, embedder.tile_frames)
         if zero_frames_in > 0:
             samples = in_stream.read_frames(tile - zero_frames_in)
             samples = np.concatenate([
