@@ -23,7 +23,7 @@ from __future__ import annotations
 
 from enum import Enum
 from functools import lru_cache, partial
-from typing import List, Optional, Tuple
+from typing import Tuple
 
 import numpy as np
 

@@ -8,7 +8,7 @@ supporting quoting, escapes and # comments.
 from __future__ import annotations
 
 import os
-from typing import List, Optional, Tuple
+from typing import List, Optional
 
 from ..utils.hexbits import hex_str_to_vec
 from ..utils.log import error

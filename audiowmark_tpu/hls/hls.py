@@ -20,7 +20,6 @@ from __future__ import annotations
 import os
 import re
 import shutil
-import struct
 import subprocess
 import tempfile
 from typing import Dict, List, Optional

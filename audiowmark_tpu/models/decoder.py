@@ -14,7 +14,6 @@ lax.scan via vmap.
 from __future__ import annotations
 
 from dataclasses import dataclass
-from functools import partial
 from typing import List, Optional
 
 import numpy as np

@@ -15,8 +15,6 @@ while each dispatch is large enough to saturate the chip.
 
 from __future__ import annotations
 
-from typing import Optional
-
 import numpy as np
 
 from ..crypto.keys import Key

@@ -5,8 +5,6 @@ from __future__ import annotations
 
 from typing import List
 
-import numpy as np
-
 from ..crypto.keys import Key
 from ..io.streams import StreamError
 from ..io.wavdata import WavData

@@ -8,7 +8,7 @@ and JSON output formats byte-compatible with the reference.
 from __future__ import annotations
 
 import sys
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from enum import Enum
 from typing import List, Optional
 

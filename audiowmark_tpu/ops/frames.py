@@ -19,7 +19,7 @@ irfft * frame_size.
 
 from __future__ import annotations
 
-from functools import lru_cache, partial
+from functools import lru_cache
 
 import numpy as np
 

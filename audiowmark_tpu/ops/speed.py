@@ -17,7 +17,7 @@ exact int64 so offsets match the reference's rounding bit-for-bit.
 from __future__ import annotations
 
 from dataclasses import dataclass
-from functools import lru_cache, partial
+from functools import lru_cache
 from typing import List, Tuple
 
 import numpy as np

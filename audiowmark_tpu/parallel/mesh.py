@@ -20,9 +20,6 @@ the reference's ThreadPool fan-outs become batch axes here
 
 from __future__ import annotations
 
-from functools import partial
-from typing import Tuple
-
 import numpy as np
 
 import jax

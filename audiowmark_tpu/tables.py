@@ -21,7 +21,7 @@ Table semantics (all validated against the scalar PRNG in tests):
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Dict, Tuple
 
 import numpy as np
