@@ -516,7 +516,11 @@ def test_resample(in_file: str, out_file: str, new_rate: int) -> int:
 
 
 def test_info(in_file: str, prop: str) -> int:
-    in_data = WavData.load(in_file)
+    try:
+        in_data = WavData.load(in_file)
+    except StreamError as e:
+        error("audiowmark: error loading %s: %s\n" % (in_file, e))
+        return 1
     if prop == "bit_depth":
         print("%d" % in_data.bit_depth)
         return 0

@@ -65,26 +65,16 @@ def ff_decode_to_wavdata(filename: str, fmt: Optional[str] = None) -> WavData:
 
 
 def _flac_encode(samples: np.ndarray, n_channels: int, rate: int) -> bytes:
-    """Encode float samples to FLAC bytes (16-bit) via ffmpeg."""
-    from ..io.wavfile import encode_samples
-    from ..params import Encoding
-    with tempfile.NamedTemporaryFile(suffix=".flac") as out:
-        raw = encode_samples(samples, 16, Encoding.SIGNED)
-        p = subprocess.run(
-            ["ffmpeg", "-v", "error", "-nostdin", "-y", "-f", "s16le",
-             "-ar", str(rate), "-ac", str(n_channels), "-i", "-",
-             out.name],
-            input=raw, capture_output=True)
-        if p.returncode != 0:
-            raise RuntimeError("flac encode failed: %s" % p.stderr.decode())
-        return open(out.name, "rb").read()
+    """Encode float samples to FLAC bytes (16-bit) with the native codec
+    (reference uses libsndfile virtual-IO FLAC, src/hls.cc:563-580)."""
+    from ..io.flac import encode_flac
+    return encode_flac(samples, n_channels, rate, bit_depth=16)
 
 
 def _flac_decode(data: bytes) -> WavData:
-    with tempfile.NamedTemporaryFile(suffix=".flac") as f:
-        f.write(data)
-        f.flush()
-        return ff_decode_to_wavdata(f.name)
+    from ..io.flac import decode_flac
+    samples, nch, rate, bps = decode_flac(data)
+    return WavData(samples, nch, rate, bps)
 
 
 class MemoryInputStream(AudioInputStream):

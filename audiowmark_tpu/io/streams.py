@@ -305,6 +305,9 @@ def create_input_stream(filename: str) -> AudioInputStream:
         try:
             return WavInputStream(filename)
         except WavParseError as e:
+            from .flac import flac_detect, FlacInputStream
+            if filename != "-" and flac_detect(filename):
+                return FlacInputStream(filename)
             from .mp3 import mp3_detect, MP3InputStream
             if mp3_detect(filename):
                 return MP3InputStream(filename)
