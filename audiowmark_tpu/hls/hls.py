@@ -9,10 +9,11 @@ the full-stream timeline, AAC-encodes, drops `prev_ctx/1024` lead-in AAC
 frames and keeps `size/1024` frames, muxing back to MPEG-TS at the original
 presentation timestamp.
 
-Codec work (AAC/FLAC) runs through the ffmpeg CLI, like the reference's use
-of ffmpeg libraries/subprocesses; without ffmpeg on PATH these commands
-report an actionable error (the reference similarly stubs out HLS when built
-without ffmpeg, src/hls.cc:41-55).
+The FLAC piggyback payload uses the native codec (io/flac.py); AAC encode/
+decode and ffprobe validation run through the ffmpeg CLI, like the
+reference's use of ffmpeg libraries/subprocesses — without ffmpeg on PATH
+those commands report an actionable error (the reference similarly stubs
+out HLS when built without ffmpeg, src/hls.cc:41-55).
 """
 
 from __future__ import annotations

@@ -10,10 +10,9 @@ implement the subset of FLAC the framework needs natively:
   and all stereo decorrelation modes (independent, left/side, right/side,
   mid/side); 8..32-bit sample sizes.
 * encoder: fixed-blocksize streams with verbatim subframes (byte-aligned
-  fast path for 8/16/24-bit PCM — what the HLS path uses, so multi-minute
-  masters encode/decode at memcpy speed) and an optional order-2
-  fixed-predictor + rice mode used by the tests to exercise the residual
-  decode path.
+  16/24-bit fast path — what the HLS path uses, so multi-minute masters
+  encode/decode at memcpy speed) and an optional order-2 fixed-predictor +
+  rice mode used by the tests to exercise the residual decode path.
 
 Container quantization matches the WAV writer (trunc-clip f*2^31), so a
 WAV->FLAC->WAV round trip is bit-exact on the PCM words.
@@ -28,6 +27,7 @@ from typing import List, Optional, Tuple
 import numpy as np
 
 from ..params import Encoding
+from .streams import AudioInputStream
 
 _BLOCK = 4096
 
@@ -76,11 +76,42 @@ def _crc8(data: bytes) -> int:
     return c
 
 
+# CRC-16 is linear over GF(2): crc(msg) = XOR over set bits of the
+# per-(distance-from-end, bit) contribution crc((1<<bit) << 8*d).  The
+# contribution table is built incrementally and cached, making frame CRCs
+# one vectorized XOR-reduce instead of a per-byte Python loop.
+_CRC16_CONTRIB = np.zeros((0, 8), dtype=np.uint16)
+
+
+def _crc16_contrib(n: int) -> np.ndarray:
+    global _CRC16_CONTRIB
+    if _CRC16_CONTRIB.shape[0] < n:
+        old = _CRC16_CONTRIB
+        grow = max(n, 2 * old.shape[0], 4096)
+        tbl = np.empty((grow, 8), dtype=np.uint16)
+        if old.shape[0]:
+            tbl[:old.shape[0]] = old
+            start = old.shape[0]
+        else:
+            tbl[0] = _CRC16_TABLE[1 << np.arange(8)].astype(np.uint16)
+            start = 1
+        t16 = _CRC16_TABLE.astype(np.uint16)
+        for d in range(start, grow):
+            v = tbl[d - 1]
+            tbl[d] = t16[v >> 8] ^ (v << 8)  # advance by one zero byte
+        _CRC16_CONTRIB = tbl
+    return _CRC16_CONTRIB
+
+
 def _crc16(data: bytes) -> int:
-    c = 0
-    for b in data:
-        c = int(_CRC16_TABLE[((c >> 8) ^ b) & 0xFF]) ^ ((c << 8) & 0xFFFF)
-    return c
+    n = len(data)
+    if n == 0:
+        return 0
+    contrib = _crc16_contrib(n)
+    arr = np.frombuffer(data, dtype=np.uint8)
+    bits = ((arr[:, None] >> np.arange(8, dtype=np.uint8)[None, :]) & 1)
+    vals = contrib[n - 1::-1] * bits.astype(np.uint16)
+    return int(np.bitwise_xor.reduce(vals, axis=None))
 
 
 # ---- UTF-8-style frame numbers ----------------------------------------------
@@ -105,9 +136,17 @@ class _BitReader:
     def __init__(self, data: bytes):
         self.data = data
         self.bits = np.unpackbits(np.frombuffer(data, dtype=np.uint8))
-        self.ones = np.flatnonzero(self.bits)  # positions of set bits
+        self._ones = None  # lazy: only rice/wasted-bits decoding needs it
         self.pos = 0
         self._pow = (1 << np.arange(23, -1, -1)).astype(np.int64)
+
+    @property
+    def ones(self) -> np.ndarray:
+        """Positions of set bits (built lazily — verbatim streams, like the
+        HLS payload, never read unary codes and skip the ~4x memory cost)."""
+        if self._ones is None:
+            self._ones = np.flatnonzero(self.bits)
+        return self._ones
 
     def read_uint(self, n: int) -> int:
         if self.pos + n > self.bits.size:
@@ -206,7 +245,7 @@ def _decode_residual(br: _BitReader, block_size: int, order: int) -> np.ndarray:
     escape = (1 << plen) - 1
     porder = br.read_uint(4)
     n_part = 1 << porder
-    if block_size % n_part:
+    if block_size % n_part or (block_size >> porder) < order:
         raise FlacError("bad partition order")
     out = np.empty(block_size - order, dtype=np.int64)
     filled = 0
@@ -269,6 +308,8 @@ def _decode_subframe(br: _BitReader, block_size: int, bps: int) -> np.ndarray:
         if precision == 16:
             raise FlacError("bad qlp precision")
         shift = br.read_sint(5)
+        if shift < 0:
+            raise FlacError("negative LPC shift")
         coefs = [br.read_sint(precision) for _ in range(order)]
         res = _decode_residual(br, block_size, order)
         out = np.empty(block_size, dtype=np.int64)
@@ -405,8 +446,9 @@ def decode_flac(data: bytes) -> Tuple[np.ndarray, int, int, int]:
            else np.zeros((0, info["channels"]), dtype=np.int64))
     if info["total"]:
         pcm = pcm[:info["total"]]
-    samples = (pcm.astype(np.float64) /
-               float(1 << (info["bps"] - 1))).astype(np.float32)
+    # float32 multiply by a power of two, matching the WAV reader's
+    # int-PCM normalization path exactly
+    samples = pcm.astype(np.float32) * np.float32(1.0 / (1 << (info["bps"] - 1)))
     return samples.reshape(-1), info["channels"], info["rate"], info["bps"]
 
 
@@ -504,8 +546,10 @@ def encode_flac(samples: np.ndarray, n_channels: int, rate: int,
     piggyback payload; mode="fixed" uses an order-2 fixed predictor with
     rice residuals (smaller, slower — also exercises the residual decoder).
     """
-    if bit_depth not in _SS_CODES:
+    if bit_depth not in (16, 24):  # what the PCM quantizer supports
         raise FlacError("unsupported FLAC bit depth %d" % bit_depth)
+    if not 1 <= n_channels <= 8:
+        raise FlacError("unsupported FLAC channel count %d" % n_channels)
     pcm = _int_samples(samples, bit_depth).reshape(-1, n_channels)
     n_frames = pcm.shape[0]
     # MD5 over the little-endian PCM bytes, per spec
@@ -537,7 +581,7 @@ def encode_flac(samples: np.ndarray, n_channels: int, rate: int,
 
 # ---- stream integration ------------------------------------------------------
 
-class FlacInputStream:
+class FlacInputStream(AudioInputStream):
     """FLAC file input (decoded eagerly; SFInputStream FLAC analog)."""
 
     def __init__(self, filename: str):

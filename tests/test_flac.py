@@ -186,6 +186,51 @@ class TestDecodePaths:
             decode_flac(b"RIFFxxxx")
 
 
+class TestCrc:
+    def test_crc16_matches_bytewise_reference(self):
+        rng = np.random.RandomState(0)
+        for n in (0, 1, 2, 7, 255, 4096):
+            data = rng.bytes(n)
+            c = 0
+            for b in data:
+                c = (int(flac._CRC16_TABLE[((c >> 8) ^ b) & 0xFF])
+                     ^ ((c << 8) & 0xFFFF))
+            assert flac._crc16(data) == c
+
+    def test_crc16_known_vector(self):
+        # CRC-16/BUYPASS (poly 0x8005, init 0, no reflect): "123456789"
+        assert flac._crc16(b"123456789") == 0xFEE8
+
+
+class TestEncoderValidation:
+    def test_rejects_unsupported_bit_depth(self):
+        for bits in (8, 12, 20, 32):
+            with pytest.raises(FlacError):
+                encode_flac(np.zeros(10, np.float32), 1, 44100, bits)
+
+    def test_rejects_bad_channel_count(self):
+        for nch in (0, 9):
+            with pytest.raises(FlacError):
+                encode_flac(np.zeros(18, np.float32), nch, 44100, 16)
+
+    def test_negative_lpc_shift_rejected(self):
+        bw = _BitWriter()
+        bw.write_uint(0, 1)
+        bw.write_uint(32, 6)   # LPC order 1
+        bw.write_uint(0, 1)
+        bw.write_sint(0, 16)   # warmup
+        bw.write_uint(11, 4)   # precision 12
+        bw.write_sint(-1, 5)   # negative shift -> must be rejected
+        bw.write_sint(1, 12)
+        bw.write_uint(0, 2)
+        bw.write_uint(0, 4)
+        bw.write_uint(0, 4)
+        bw.write_unary(0)
+        data = _frame_shell(bw.getvalue(), 2, 44100, 16, 0, 2)
+        with pytest.raises(FlacError):
+            decode_flac(data)
+
+
 class TestBitIO:
     def test_reader_writer_inverse(self):
         bw = _BitWriter()
