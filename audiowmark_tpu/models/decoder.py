@@ -21,7 +21,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from ..codec import ConvBlockType, code_decode_soft, code_size
+from ..codec import ConvBlockType, code_size
 from ..codec.dispatch import code_decode_soft_batch
 from ..crypto.keys import Key
 from ..ops.frames import FRAME, MIN_DB, _LOG2_DB, analysis_window

@@ -264,6 +264,28 @@ class TestIntegration:
         assert wav.bit_depth == 16
         assert np.array_equal(_int16(wav.samples), _int16(x))
 
+    def test_ts_piggyback_flac_payload(self, tmp_path):
+        """The hls-prepare/hls-add seam: native FLAC master payload through
+        the MPEG-TS piggyback store (no ffmpeg needed for this half)."""
+        from audiowmark_tpu.hls.hls import _flac_decode, _flac_encode
+        from audiowmark_tpu.hls.mpegts import PACKET_SIZE, TSReader, TSWriter
+        x = _noise(44100, seed=11)
+        flac_bytes = _flac_encode(x, 2, 44100)
+        src, dst = str(tmp_path / "in.ts"), str(tmp_path / "out.ts")
+        rng = np.random.RandomState(3)
+        ts = rng.randint(0, 256, size=4 * PACKET_SIZE).astype(np.uint8)
+        ts[::PACKET_SIZE] = ord("G")
+        open(src, "wb").write(ts.tobytes())
+        writer = TSWriter()
+        writer.append_data("full.flac", flac_bytes)
+        writer.append_vars("vars", {"start_pos": "0", "size": "22050"})
+        writer.process(src, dst)
+        reader = TSReader()
+        reader.load(dst)
+        wav = _flac_decode(reader.find("full.flac").data)
+        assert wav.sample_rate == 44100 and wav.n_channels == 2
+        assert np.array_equal(_int16(wav.samples), _int16(x))
+
     @pytest.mark.slow
     def test_add_get_from_flac_input(self, tmp_path):
         from audiowmark_tpu import cli
