@@ -561,6 +561,33 @@ def gen_key_cmd(outfile: str, key_name: str) -> int:
 # ---- main ---------------------------------------------------------------------
 
 def main(argv: Optional[List[str]] = None) -> int:
+    # observability hook (SURVEY §5): AUDIOWMARK_PROFILE=<dir> captures a
+    # JAX profiler trace of the whole command for TensorBoard/Perfetto
+    profile_dir = os.environ.get("AUDIOWMARK_PROFILE")
+    if profile_dir:
+        import jax
+        try:
+            trace = jax.profiler.trace(profile_dir)
+            trace.__enter__()
+        except Exception as e:
+            error("audiowmark: cannot start profiler trace in '%s': %s\n"
+                  % (profile_dir, e))
+            return 1
+        ret = 1
+        try:
+            ret = _main(argv)
+        finally:
+            try:
+                trace.__exit__(None, None, None)
+            except Exception as e:
+                error("audiowmark: failed to write profiler trace to "
+                      "'%s': %s\n" % (profile_dir, e))
+                ret = 1
+        return ret
+    return _main(argv)
+
+
+def _main(argv: Optional[List[str]] = None) -> int:
     if argv is None:
         argv = sys.argv[1:]
     ap = ArgParser(argv)
