@@ -119,6 +119,9 @@ def parse_header(f: BinaryIO, ignore_data_size: bool = False) -> WavInfo:
                 data_size = ds64_data_size
             if ignore_data_size or csize == 0xFFFFFFFF and ds64_data_size is None:
                 data_size = None
+            if channels < 1 or rate < 1:
+                raise WavParseError("invalid wav fmt chunk "
+                                    "(%d channels, rate %d)" % (channels, rate))
             bpf = channels * (bits // 8)
             n_frames = None if data_size is None else data_size // bpf
             return WavInfo(channels, rate, bits, enc, data_size, n_frames)
@@ -197,7 +200,9 @@ def build_header(n_channels: int, sample_rate: int, bit_depth: int,
                               (data_size // bpf) & 0xFFFFFFFF if bpf else 0)
     data_hdr = struct.pack(
         "<4sI", b"data", 0xFFFFFFFF if rf64 else data_size & 0xFFFFFFFF)
-    riff_size = 4 + len(chunks) + len(data_hdr) + data_size
+    # odd-sized data chunks get a pad byte (written by the caller on close),
+    # which counts toward the RIFF chunk size
+    riff_size = 4 + len(chunks) + len(data_hdr) + data_size + (data_size & 1)
     if rf64:
         hdr = struct.pack("<4sI4s", b"RF64", 0xFFFFFFFF, b"WAVE")
         # patch riff size into ds64

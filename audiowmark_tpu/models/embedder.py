@@ -107,16 +107,6 @@ class StreamingEmbedder:
         to_read = self.out_resampler.can_read_frames()
         return self.out_resampler.read_frames(to_read)
 
-    def flush(self) -> np.ndarray:
-        """Feed zero frames until the pipeline tail is drained; the caller
-        trims to the input length (the reference does the same with its
-        zero-padding read loop)."""
-        out = []
-        zeros = np.zeros(FRAME * self.n_channels, dtype=np.float32)
-        for _ in range(64):
-            out.append(self.run(zeros))
-        return np.concatenate(out)
-
     def skip(self, zero_frames: int) -> int:
         """Skip a whole-frame zero lead-in, preserving PRNG frame phase
         (reference: src/wmadd.cc:251-263,318-325,408-425)."""

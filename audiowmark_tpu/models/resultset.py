@@ -122,7 +122,13 @@ class ResultSet:
         return btype
 
     def print_json(self, time_length: int, json_file: str):
-        f = sys.stdout if json_file == "-" else open(json_file, "w")
+        try:
+            f = sys.stdout if json_file == "-" else open(json_file, "w")
+        except OSError as e:
+            from ..utils.log import error
+            error("audiowmark: failed to write results to '%s': %s\n"
+                  % (json_file, e))
+            sys.exit(127)  # reference: src/wmget.cc print_json perror+exit
         try:
             f.write('{ "length": "%d:%02d",\n'
                     % (time_length // 60, time_length % 60))

@@ -248,5 +248,17 @@ class StreamingResampler:
         self.write_frames(np.zeros(zeros * self.n_channels, dtype=np.float32))
         out = self.can_read_frames() + extra
         out -= out % Params.frame_size
-        self.read_frames(out - extra)
+        consume = out - extra
+        if consume >= 0:
+            self.read_frames(consume)
+        else:
+            # frame rounding dipped into the virtually-skipped whole seconds;
+            # those output frames sit deep inside the zero lead-in (>=1 s of
+            # zero history, far beyond the filter taps), so they are exactly
+            # zero — materialize them instead of consuming a negative count
+            # (the reference's size_t arithmetic would crash here,
+            # src/resample.cc:163-165)
+            self.out_buffer = np.concatenate(
+                [np.zeros(-consume * self.n_channels, dtype=np.float32),
+                 self.out_buffer])
         return out

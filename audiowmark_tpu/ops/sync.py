@@ -27,7 +27,8 @@ import jax.numpy as jnp
 
 from ..params import Params
 from ..tables import KeyTables
-from .frames import FRAME, MIN_DB, _LOG2_DB, analysis_window
+from .frames import (FRAME, MIN_DB, _LOG2_DB, _db_spectrogram_core,
+                     analysis_window)
 
 N_BANDS = Params.max_band - Params.min_band + 1
 HOP = Params.sync_search_step  # 256
@@ -84,15 +85,9 @@ def build_sync_bits(tables: KeyTables, clip_mode: bool) -> SyncBits:
 
 # ---- spectrogram -------------------------------------------------------------
 
-@jax.jit
-def _db_frames(windows: jnp.ndarray, awin: jnp.ndarray) -> jnp.ndarray:
-    """(T, C, FRAME) windows -> (T, N_BANDS) dB summed over channels."""
-    spec = jnp.fft.rfft(windows * awin[None, None, :], axis=-1)
-    spec = spec[:, :, Params.min_band:Params.max_band + 1]
-    abs2 = jnp.real(spec) ** 2 + jnp.imag(spec) ** 2
-    db = jnp.where(abs2 > 0, jnp.log2(abs2) * jnp.float32(_LOG2_DB),
-                   jnp.float32(MIN_DB))
-    return jnp.sum(db, axis=1)
+# (T, C, FRAME) windows -> (T, N_BANDS) dB summed over channels;
+# shared with ops/frames.py so the dB/band definition lives in one place
+_db_frames = _db_spectrogram_core
 
 
 @partial(jax.jit, static_argnames=("tile",))
@@ -289,7 +284,6 @@ def local_mean(scores: np.ndarray, distance: int = 20,
     n = scores.size
     kernel_idx = np.concatenate([np.arange(-distance, -exclude + 1),
                                  np.arange(exclude, distance + 1)])
-    csum = np.concatenate([[0.0], np.cumsum(scores, dtype=np.float64)])
     total = np.zeros(n, dtype=np.float64)
     count = np.zeros(n, dtype=np.int64)
     i = np.arange(n)

@@ -132,6 +132,56 @@ def test_streaming_resampler_skip_periodicity():
     assert a.size > 0
 
 
+def test_streaming_resampler_skip_frame_rounding_underflow():
+    """skip() where frame rounding dips below the fast-forwarded seconds:
+    must not consume a negative count; the shortfall is exact zeros."""
+    sr = StreamingResampler(2, 48000, 44100)
+    out = sr.skip(49024)  # 1 whole second + 1024 residual zeros (48 kHz)
+    assert out % Params.frame_size == 0
+    # stream continuity: any buffered output before real input must be zero
+    # (we are still inside the zero lead-in)
+    lead = sr.read_frames(sr.can_read_frames())
+    assert lead.size == 0 or np.allclose(lead, 0.0, atol=1e-7)
+    rng = np.random.RandomState(9)
+    x = rng.randn(48000 * 2).astype(np.float32)
+    sr.write_frames(x)
+    y = sr.read_frames(sr.can_read_frames())
+    assert y.size > 0 and np.isfinite(y).all()
+
+
+def test_wav_zero_channels_rejected(tmp_path):
+    """fmt chunk with 0 channels must be a clean parse error, not a
+    ZeroDivisionError."""
+    import struct
+    from audiowmark_tpu.io import wavfile
+    fmt = struct.pack("<HHIIHH", 1, 0, 44100, 0, 0, 16)
+    data = (b"RIFF" + struct.pack("<I", 36) + b"WAVE"
+            + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", 4) + b"\x00" * 4)
+    p = tmp_path / "zch.wav"
+    p.write_bytes(data)
+    with pytest.raises(wavfile.WavParseError):
+        with open(p, "rb") as f:
+            wavfile.parse_header(f)
+
+
+def test_wav_odd_data_riff_size(tmp_path):
+    """Odd-sized data chunks get a pad byte that must be counted in the
+    RIFF chunk size (file size == riff_size + 8)."""
+    from audiowmark_tpu.io.wavdata import WavData
+    import struct
+    x = np.zeros(3 * 1, dtype=np.float32)  # 3 mono frames at 24 bit -> odd
+    wav = WavData(x, 1, 44100, 24)
+    p = tmp_path / "odd.wav"
+    wav.save(str(p))
+    raw = p.read_bytes()
+    riff_size = struct.unpack("<I", raw[4:8])[0]
+    assert len(raw) == riff_size + 8
+    # still parses and round-trips
+    back = WavData.load(str(p))
+    assert back.n_frames == 3
+
+
 def test_embedder_zero_frames_alignment():
     """HLS skip path: embedding with a zero lead-in must produce the same
     delta (same PRNG frame phase) as the corresponding region of a
