@@ -14,7 +14,8 @@ lax.scan via vmap.
 from __future__ import annotations
 
 from dataclasses import dataclass
-from typing import List, Optional
+from functools import partial
+from typing import List
 
 import numpy as np
 
@@ -32,34 +33,50 @@ from .resultset import PatternType, ResultSet
 from .syncfinder import SyncMode
 
 
-@jax.jit
-def _db_per_channel(windows: jnp.ndarray, awin: jnp.ndarray) -> jnp.ndarray:
-    """(T, C, FRAME) -> (T, C, N_BANDS) dB (per channel, min -96)."""
-    spec = jnp.fft.rfft(windows * awin[None, None, :], axis=-1)
-    spec = spec[:, :, Params.min_band:Params.max_band + 1]
-    abs2 = jnp.real(spec) ** 2 + jnp.imag(spec) ** 2
-    return jnp.where(abs2 > 0, jnp.log2(abs2) * jnp.float32(_LOG2_DB),
-                     jnp.float32(MIN_DB))
+@partial(jax.jit, static_argnames=("count",))
+def _block_db_batch_dev(x: jnp.ndarray, indices: jnp.ndarray,
+                        awin: jnp.ndarray, count: int) -> jnp.ndarray:
+    """Per-candidate block dB spectrograms, fully on device.
+
+    A block's `count` analysis frames are CONSECUTIVE 1024-sample windows
+    (reference fft_range, src/wmcommon.cc:123-141), so each candidate is one
+    dynamic slice + reshape — no gather.  lax.map keeps the per-candidate
+    (count, FRAME, C) intermediate from materializing K times at once.
+
+    x: (n, C); indices: (K,) int32 -> (K, count, C, N_BANDS) dB
+    """
+    def one(i):
+        w = jax.lax.dynamic_slice_in_dim(x, i, count * FRAME, axis=0)
+        w = jnp.swapaxes(w.reshape(count, FRAME, x.shape[1]), 1, 2)
+        spec = jnp.fft.rfft(w * awin[None, None, :], axis=-1)
+        spec = spec[:, :, Params.min_band:Params.max_band + 1]
+        abs2 = jnp.real(spec) ** 2 + jnp.imag(spec) ** 2
+        return jnp.where(abs2 > 0, jnp.log2(abs2) * jnp.float32(_LOG2_DB),
+                         jnp.float32(MIN_DB))
+
+    return jax.lax.map(one, indices)
 
 
-def _block_db(samples: np.ndarray, n_channels: int, index: int,
-              frame_count: int) -> Optional[np.ndarray]:
-    """dB spectrogram (frame_count, C, N_BANDS) of frames starting at sample
-    index; None if the range reads past the end (reference fft_range)."""
+def _block_db_batch(samples: np.ndarray, n_channels: int,
+                    indices: List[int], frame_count: int) -> dict:
+    """dB spectrograms (frame_count, C, N_BANDS) for each candidate start
+    index; candidates reading past the end are dropped (reference skips
+    them).  Returns {index: db}.  K is bucketed to a power of two so XLA
+    compiles once per (frame_count, bucket)."""
     x = samples.reshape(-1, n_channels)
-    if index + frame_count * FRAME > x.shape[0]:
-        return None
-    idx = index + np.arange(frame_count)[:, None] * FRAME + np.arange(FRAME)[None, :]
-    windows = np.ascontiguousarray(x[idx].transpose(0, 2, 1))
-    out = np.empty((frame_count, n_channels,
-                    Params.max_band - Params.min_band + 1), dtype=np.float32)
-    TILE = 4096
-    awin = jnp.asarray(analysis_window())
-    for t0 in range(0, frame_count, TILE):
-        t1 = min(t0 + TILE, frame_count)
-        out[t0:t1] = np.asarray(
-            _db_per_channel(jnp.asarray(windows[t0:t1]), awin))
-    return out
+    valid = [i for i in dict.fromkeys(indices)
+             if i + frame_count * FRAME <= x.shape[0]]
+    if not valid:
+        return {}
+    K = 1
+    while K < len(valid):
+        K *= 2
+    idx = np.zeros(K, dtype=np.int32)
+    idx[: len(valid)] = valid
+    dbs = np.asarray(_block_db_batch_dev(
+        jnp.asarray(x), jnp.asarray(idx), jnp.asarray(analysis_window()),
+        frame_count))
+    return {i: dbs[k] for k, i in enumerate(valid)}
 
 
 def _background_subtract(db: np.ndarray) -> np.ndarray:
@@ -97,7 +114,10 @@ def normalize_soft_bits(soft_bits: np.ndarray) -> np.ndarray:
     if Params.hard:
         return (soft_bits > 0).astype(np.float32)
     mean = float(np.mean(np.abs(soft_bits)))
-    return (0.5 * (soft_bits / mean + 1)).astype(np.float32)
+    with np.errstate(invalid="ignore", divide="ignore"):
+        # mean == 0 on degenerate (all-zero) input gives nan soft bits,
+        # matching the reference's unchecked C++ float division
+        return (0.5 * (soft_bits / mean + 1)).astype(np.float32)
 
 
 # ---- block decoder -----------------------------------------------------------
@@ -153,8 +173,11 @@ class BlockDecoder:
             count = tables.frames_per_block
             pattern_raw: List[_PatternRawBits] = []
 
+            db_map = _block_db_batch(
+                samples, n_channels,
+                [ss.index for ss in key_result.sync_scores], count)
             for sync_score in key_result.sync_scores:
-                db = _block_db(samples, n_channels, sync_score.index, count)
+                db = db_map.get(sync_score.index)
                 if db is None:
                     continue
                 raw_bits = mix_or_linear_decode(tables, db)
@@ -312,11 +335,14 @@ class ClipDecoder:
             key = key_result.key
             tables = get_key_tables(key)
             count = tables.frames_per_block
+            db_map = _block_db_batch(
+                samples, n_channels,
+                [i for ss in key_result.sync_scores
+                 for i in (ss.index, ss.index + count * FRAME)], count)
             for sync_score in key_result.sync_scores:
                 index = sync_score.index
-                db1 = _block_db(samples, n_channels, index, count)
-                db2 = _block_db(samples, n_channels,
-                                index + count * FRAME, count)
+                db1 = db_map.get(index)
+                db2 = db_map.get(index + count * FRAME)
                 if db1 is None or db2 is None:
                     continue
                 raw1 = randomize_bit_order(

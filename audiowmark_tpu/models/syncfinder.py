@@ -62,55 +62,58 @@ def _scan_silence(samples: np.ndarray) -> Tuple[int, int]:
     return int(nz[0]), int(nz[-1]) + 1
 
 
-def _select_local_maxima(scores: List[_SearchScore]) -> List[_SearchScore]:
-    selected = []
-    i = 0
-    n = len(scores)
-    while i < n:
-        q = scores[i].abs_quality()
-        q_last = scores[i - 1].abs_quality() if i > 0 else 0.0
-        q_next = scores[i + 1].abs_quality() if i + 1 < n else 0.0
-        if q >= q_last and q >= q_next:
-            selected.append(scores[i])
-            i += 1  # next score cannot be a local maximum
-        i += 1
-    return selected
+def _select_local_maxima(abs_q: np.ndarray) -> np.ndarray:
+    """Local-maxima mask matching the reference's sequential scan
+    (src/syncfinder.cc:258-281): a selected peak skips its right neighbor,
+    which on plateaus of equal values selects every other element.  That
+    alternation restarts at each run of consecutive candidate positions, so
+    it vectorizes as (position - run_start) even."""
+    n = abs_q.size
+    if n == 0:
+        return np.zeros(0, dtype=bool)
+    q_prev = np.concatenate(([0.0], abs_q[:-1]))
+    q_next = np.concatenate((abs_q[1:], [0.0]))
+    mask = (abs_q >= q_prev) & (abs_q >= q_next)
+    idx = np.arange(n)
+    run_start = mask & np.concatenate(([True], ~mask[:-1]))
+    start = np.maximum.accumulate(np.where(run_start, idx, -1))
+    return mask & ((idx - start) % 2 == 0)
 
 
-def _mask_avg_false_positives(scores: List[_SearchScore]) -> List[_SearchScore]:
+def _mask_avg_false_positives(indices: np.ndarray, raw: np.ndarray,
+                              mean: np.ndarray) -> np.ndarray:
+    """Keep-mask: drop candidates with an opposite-sign neighbor 3x larger
+    within 23 steps (src/syncfinder.cc:283-332).  Scanned as 23 shifted
+    array comparisons instead of the O(n*47) inner loop."""
     mask_distance = 20 + 3  # local_mean_distance + 3
     mask_factor = 3.0
-    out = []
-    n = len(scores)
-    for i in range(n):
-        masked = False
-        for d in range(-mask_distance, mask_distance + 1):
-            j = i + d
-            if j != i and 0 <= j < n:
-                distance = abs(scores[i].index - scores[j].index) \
-                    // Params.sync_search_step
-                if distance <= mask_distance:
-                    sign_i = -1 if scores[i].raw_quality - scores[i].local_mean < 0 else 1
-                    sign_j = -1 if scores[j].raw_quality - scores[j].local_mean < 0 else 1
-                    if (scores[j].abs_quality() > scores[i].abs_quality() * mask_factor
-                            and sign_i != sign_j):
-                        masked = True
-        if not masked:
-            out.append(scores[i])
-    return out
+    n = indices.size
+    aq = np.abs(raw - mean)
+    sign = np.where(raw - mean < 0, -1, 1)
+    masked = np.zeros(n, dtype=bool)
+    for d in range(1, min(mask_distance, n - 1) + 1):
+        step_dist = (indices[d:] - indices[:-d]) // Params.sync_search_step
+        opp = (step_dist <= mask_distance) & (sign[d:] != sign[:-d])
+        masked[:-d] |= opp & (aq[d:] > aq[:-d] * mask_factor)
+        masked[d:] |= opp & (aq[:-d] > aq[d:] * mask_factor)
+    return ~masked
+
+
+def _threshold_n_best_order(abs_q: np.ndarray, threshold: float) -> np.ndarray:
+    """Positions ordered by descending quality, truncated to all-above-
+    threshold or at least get_n_best (src/syncfinder.cc:364-383).  Stable
+    sort keeps the reference's tie order (original index order)."""
+    order = np.argsort(-abs_q, kind="stable")
+    n_above = int(np.count_nonzero(abs_q > threshold))
+    keep = n_above if n_above >= Params.get_n_best \
+        else min(Params.get_n_best, abs_q.size)
+    return order[:keep]
 
 
 def _select_threshold_and_n_best(scores: List[_SearchScore],
                                  threshold: float) -> List[_SearchScore]:
-    scores = sorted(scores, key=lambda s: -s.abs_quality())
-    i = 0
-    while i < len(scores) and scores[i].abs_quality() > threshold:
-        i += 1
-    if i >= Params.get_n_best:
-        return scores[:i]
-    if len(scores) > Params.get_n_best:
-        return scores[:Params.get_n_best]
-    return scores
+    aq = np.array([s.abs_quality() for s in scores], dtype=np.float64)
+    return [scores[i] for i in _threshold_n_best_order(aq, threshold)]
 
 
 def _fake_sync(key_list: List[Key], wav_data, mode: SyncMode) -> List[KeyResult]:
@@ -153,24 +156,31 @@ def search(key_list: List[Key], wav_data, mode: SyncMode) -> List[KeyResult]:
     for key in key_list:
         tables = get_key_tables(key)
         sync_bits = sync_ops.build_sync_bits(tables, mode == SyncMode.CLIP)
-        qualities = sync_ops.sync_score_sweep(S, have, sync_bits)
-        means = sync_ops.local_mean(qualities)
+        qualities = np.asarray(sync_ops.sync_score_sweep(S, have, sync_bits),
+                               dtype=np.float64)
+        means = np.asarray(sync_ops.local_mean(qualities), dtype=np.float64)
 
-        scores = [
-            _SearchScore(index=t * Params.sync_search_step,
-                         raw_quality=float(qualities[t]),
-                         local_mean=float(means[t]))
-            for t in range(qualities.size)
-        ]
-
-        scores = _select_local_maxima(scores)
-        scores = _mask_avg_false_positives(scores)
-        scores = _select_threshold_and_n_best(
-            scores, Params.sync_threshold2 * 0.75)
+        # array-stage selection: no per-tau Python objects until only
+        # ~n_best candidates remain
+        abs_q = np.abs(qualities - means)
+        sel = np.nonzero(_select_local_maxima(abs_q))[0]
+        indices = sel * Params.sync_search_step
+        keep = _mask_avg_false_positives(indices, qualities[sel], means[sel])
+        sel = sel[keep]
+        order = _threshold_n_best_order(abs_q[sel],
+                                        Params.sync_threshold2 * 0.75)
+        sel = sel[order]
 
         if mode == SyncMode.CLIP:
-            n_max = max(Params.get_n_best, 5)
-            scores = sorted(scores, key=lambda s: -s.abs_quality())[:n_max]
+            # already quality-sorted; truncate (src/syncfinder.cc:528-533)
+            sel = sel[:max(Params.get_n_best, 5)]
+
+        scores = [
+            _SearchScore(index=int(t) * Params.sync_search_step,
+                         raw_quality=float(qualities[t]),
+                         local_mean=float(means[t]))
+            for t in sel
+        ]
 
         # ---- refine: +-256 around each candidate in steps of 8,
         #      all candidates' fine positions in one batched device pass ----

@@ -299,15 +299,22 @@ def local_mean(scores: np.ndarray, distance: int = 20,
 # ---- refinement --------------------------------------------------------------
 
 @partial(jax.jit, static_argnames=("n_pos",))
-def _refine_scores(windows: jnp.ndarray, awin: jnp.ndarray, v: jnp.ndarray,
-                   have: jnp.ndarray, n_pos: int,
+def _refine_scores(x: jnp.ndarray, starts: jnp.ndarray, awin: jnp.ndarray,
+                   v: jnp.ndarray, have: jnp.ndarray, n_pos: int,
                    norm_factor: jnp.ndarray) -> jnp.ndarray:
-    """Quality for P fine positions from their sync-frame windows.
+    """Quality for P fine positions, extracting the sync-frame windows on
+    device (vmapped dynamic slices of the signal — the host never gathers).
 
-    windows: (P, 6*n_pos, C, FRAME); have: (P, 6*n_pos) float32
+    x: (n, C) signal; starts: (P, 6*n_pos) int32 window start sample-frames;
+    have: (P, 6*n_pos) float32
     """
-    P, J = windows.shape[0], windows.shape[1]
-    db = _db_frames(windows.reshape(P * J, *windows.shape[2:]), awin)
+    P, J = starts.shape
+
+    def win(s):
+        return jax.lax.dynamic_slice_in_dim(x, s, FRAME, axis=0)  # (FRAME, C)
+
+    windows = jax.vmap(win)(starts.reshape(-1))       # (P*J, FRAME, C)
+    db = _db_frames(jnp.swapaxes(windows, 1, 2), awin)
     db = db.reshape(P, J, N_BANDS)
     u = jnp.einsum("pjb,jb->pj", db, v[0::2])
     d = jnp.einsum("pjb,jb->pj", db, v[1::2])
@@ -358,18 +365,23 @@ def refine_quality(samples: np.ndarray, n_channels: int,
     awin = jnp.asarray(analysis_window())
     v = jnp.asarray(sync_bits.v)
     norm = jnp.float32(normalize_factor())
+    x_dev = jnp.asarray(x)                       # one signal upload
 
-    # bound window memory: each position materializes J*C*FRAME floats
+    # bound device window memory: each position materializes J*C*FRAME floats
     TILE = max(1, (64 << 20) // (J * n_channels * FRAME * 4))
     res = np.empty(pos_ok.size, dtype=np.float32)
-    idx_frame = np.arange(FRAME)
+    starts32 = starts.astype(np.int32)
     for p0 in range(0, pos_ok.size, TILE):
         p1 = min(p0 + TILE, pos_ok.size)
-        widx = starts[p0:p1, :, None] + idx_frame[None, None, :]
-        windows = x[widx]                        # (P, J, FRAME, C)
-        windows = np.ascontiguousarray(windows.transpose(0, 1, 3, 2))
+        # pad the tail tile to the full tile shape to avoid a recompile
+        s_tile = starts32[p0:p1]
+        h_tile = have[p0:p1]
+        if p1 - p0 < TILE and pos_ok.size > TILE:
+            pad = TILE - (p1 - p0)
+            s_tile = np.concatenate([s_tile, np.zeros((pad, J), np.int32)])
+            h_tile = np.concatenate([h_tile, np.zeros((pad, J), np.float32)])
         res[p0:p1] = np.asarray(_refine_scores(
-            jnp.asarray(windows), awin, v, jnp.asarray(have[p0:p1]),
-            sync_bits.n_pos, norm))
+            x_dev, jnp.asarray(s_tile), awin, v, jnp.asarray(h_tile),
+            sync_bits.n_pos, norm))[: p1 - p0]
     out[ok] = res
     return out
