@@ -1,21 +1,25 @@
-"""MP3 input (gated).
+"""MP3 input via libmpg123 (ctypes) — the decoder library the reference
+links (reference: src/mp3inputstream.cc).
 
-The reference decodes MP3 via libmpg123 (src/mp3inputstream.cc).  This image
-has no MP3 decoder library and no ffmpeg, so MP3 input is detected (frame-sync
-sniffing, mirroring the reference's 30-frame detect heuristic at the container
-level) and reported with a clear error.  When an `ffmpeg` binary is available
-on PATH, we decode through it instead.
+* detect: decode 30 frames successfully through a feed handle
+  (src/mp3inputstream.cc:208-275), with a cheap header-sync prefilter so
+  non-MPEG files never spin up a decoder handle.
+* open: force float32 output at all MPEG rates, `mpg123_scan` for the exact
+  length, then zero-pad/truncate to the promised frame count on read
+  (src/mp3inputstream.cc:67-151); bit_depth reported as 24.
+
+If libmpg123 is absent the header sniff still recognizes MP3 files and a
+clear StreamError explains the missing decoder.
 """
 
 from __future__ import annotations
 
-import shutil
 import struct
-import subprocess
 
 import numpy as np
 
 from .streams import AudioInputStream, StreamError
+from . import mpg123
 
 _BITRATES_V1L3 = [0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320, 0]
 _RATES_V1 = [44100, 48000, 32000, 0]
@@ -54,9 +58,8 @@ def _parse_frame_header(b: bytes):
     return frame, rate, channels
 
 
-def mp3_detect(filename: str) -> bool:
-    """Sniff for a run of consistent MPEG audio frames (like the reference's
-    30-frame decode test, src/mp3inputstream.cc:208-275)."""
+def _header_sniff(filename: str) -> bool:
+    """Cheap consistent-frame-run check (no decoder handle)."""
     try:
         with open(filename, "rb") if filename != "-" else _no_stdin() as f:
             data = f.read(256 * 1024)
@@ -78,6 +81,45 @@ def mp3_detect(filename: str) -> bool:
     return good >= 4
 
 
+def mp3_detect(filename: str) -> bool:
+    """True if the file decodes as MPEG audio: 30 frames through a feed
+    handle like the reference (src/mp3inputstream.cc:208-275); falls back
+    to the header sniff when libmpg123 is absent so the factory can still
+    route to the clear missing-decoder error."""
+    if not _header_sniff(filename):
+        return False
+    if not mpg123.available():
+        return True
+    try:
+        dec = mpg123.Mpg123()
+    except mpg123.Mpg123Error:
+        return True
+    try:
+        dec.open_feed()
+        frames = 0
+        with open(filename, "rb") as f:
+            while frames < 30:
+                chunk = f.read(4096)
+                if not chunk:
+                    return False
+                dec.feed(chunk)
+                while frames < 30:
+                    rc, data = dec.read(16384)
+                    if rc == mpg123.NEW_FORMAT:
+                        continue
+                    if rc in (mpg123.NEED_MORE, mpg123.DONE):
+                        break
+                    if rc != mpg123.OK:
+                        return False
+                    if data:
+                        frames += 1
+        return frames >= 30
+    except (OSError, mpg123.Mpg123Error):
+        return False
+    finally:
+        dec.delete()
+
+
 class _no_stdin:
     def __enter__(self):
         raise TypeError("mp3 detect does not support stdin")
@@ -87,27 +129,30 @@ class _no_stdin:
 
 
 class MP3InputStream(AudioInputStream):
-    """Decode MP3 via the ffmpeg CLI when present; clear error otherwise."""
+    """libmpg123 decode forced to float32, exact-length scan, zero-padding
+    to the promised frame count (reference: src/mp3inputstream.cc)."""
 
     def __init__(self, filename: str):
-        if shutil.which("ffmpeg") is None:
+        if not mpg123.available():
             raise StreamError(
                 "input looks like an MP3 file, but no MP3 decoder is "
-                "available (install ffmpeg to enable MP3 input)")
-        probe = subprocess.run(
-            ["ffprobe", "-v", "error", "-select_streams", "a:0",
-             "-show_entries", "stream=sample_rate,channels",
-             "-of", "csv=p=0", filename],
-            capture_output=True, text=True)
-        if probe.returncode != 0:
-            raise StreamError("ffprobe failed on MP3 input")
-        rate_s, ch_s = probe.stdout.strip().split(",")[:2]
-        self._sample_rate = int(rate_s)
-        self._n_channels = int(ch_s)
-        self._proc = subprocess.Popen(
-            ["ffmpeg", "-v", "error", "-i", filename, "-f", "f32le",
-             "-acodec", "pcm_f32le", "-"],
-            stdout=subprocess.PIPE)
+                "available (libmpg123 not found)")
+        if filename == "-":
+            raise StreamError("MP3 input from stdin is not supported")
+        try:
+            self._dec = mpg123.Mpg123()
+            self._dec.open(filename)
+            rate, channels, _enc = self._dec.getformat()
+            n = self._dec.scan_length()
+        except mpg123.Mpg123Error as e:
+            raise StreamError(str(e))
+        if n is None:
+            raise StreamError("unable to determine MP3 length")
+        self._sample_rate = int(rate)
+        self._n_channels = int(channels)
+        self._n_frames = int(n)
+        self._frames_left = int(n)
+        self._rest = b""
 
     def bit_depth(self) -> int:
         return 24  # mpg123 float decode is reported as 24 bit by the reference
@@ -119,15 +164,46 @@ class MP3InputStream(AudioInputStream):
         return self._n_channels
 
     def n_frames(self):
-        return None
+        return self._n_frames
 
     def read_frames(self, count: int) -> np.ndarray:
-        want = count * self._n_channels * 4
-        data = self._proc.stdout.read(want) or b""
-        whole = len(data) // (4 * self._n_channels) * 4 * self._n_channels
-        return np.frombuffer(data[:whole], dtype="<f4").astype(np.float32)
+        count = min(count, self._frames_left)
+        if count <= 0:
+            return np.zeros(0, dtype=np.float32)
+        bpf = 4 * self._n_channels
+        want = count * bpf
+        chunks = [self._rest[:want]]
+        got = len(chunks[0])
+        self._rest = self._rest[want:]
+        eof = False
+        while got < want:
+            rc, data = self._dec.read(max(want - got, 16384))
+            if rc == mpg123.NEW_FORMAT:
+                continue
+            if data:
+                take = min(len(data), want - got)
+                chunks.append(data[:take])
+                self._rest += data[take:]
+                got += take
+            if rc == mpg123.DONE:
+                eof = True
+                break
+            if rc not in (mpg123.OK, mpg123.NEED_MORE):
+                raise StreamError("MP3 decode error (%d)" % rc)
+            if rc == mpg123.NEED_MORE and not data:
+                eof = True
+                break
+        buf = b"".join(chunks)
+        if eof and len(buf) < want:
+            # zero-pad to the promised frame count
+            # (reference: src/mp3inputstream.cc:145-151)
+            buf += b"\x00" * (want - len(buf))
+        n_whole = len(buf) // bpf
+        self._frames_left -= n_whole
+        return np.frombuffer(buf[: n_whole * bpf], dtype="<f4").astype(
+            np.float32)
 
     def close(self):
-        if self._proc.stdout:
-            self._proc.stdout.close()
-        self._proc.wait()
+        if self._dec is not None:
+            self._dec.delete()
+            self._dec = None
