@@ -308,6 +308,9 @@ def create_input_stream(filename: str) -> AudioInputStream:
             from .flac import flac_detect, FlacInputStream
             if filename != "-" and flac_detect(filename):
                 return FlacInputStream(filename)
+            from .vorbis import ogg_detect, OggVorbisInputStream
+            if filename != "-" and ogg_detect(filename):
+                return OggVorbisInputStream(filename)
             from .mp3 import mp3_detect, MP3InputStream
             if mp3_detect(filename):
                 return MP3InputStream(filename)
