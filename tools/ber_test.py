@@ -47,21 +47,26 @@ def transform(kind, src, dst):
         assert run_cli(["test-change-speed", src, dst, factor]) == 0
         return
     if kind.startswith("mp3:"):
-        bitrate = kind.split(":")[1]
-        with tempfile.NamedTemporaryFile(suffix=".mp3") as tmp:
-            subprocess.run(["ffmpeg", "-v", "error", "-nostdin", "-y", "-i",
-                            src, "-b:a", bitrate + "k", tmp.name], check=True)
-            subprocess.run(["ffmpeg", "-v", "error", "-nostdin", "-y", "-i",
-                            tmp.name, dst], check=True)
+        # native libmp3lame encode (reference attack: lame -b N,
+        # src/ber-mp3.sh); decode auto-detects MP3 input via libmpg123
+        from audiowmark_tpu.io.lame import encode_mp3
+        from audiowmark_tpu.io.wavdata import WavData
+        bitrate = int(kind.split(":")[1])
+        w = WavData.load(src)
+        with open(dst, "wb") as f:
+            f.write(encode_mp3(w.samples, w.n_channels, w.sample_rate,
+                               bitrate))
         return
     if kind.startswith("ogg:"):
-        quality = kind.split(":")[1]
-        with tempfile.NamedTemporaryFile(suffix=".ogg") as tmp:
-            subprocess.run(["ffmpeg", "-v", "error", "-nostdin", "-y", "-i",
-                            src, "-c:a", "libvorbis", "-q:a", quality,
-                            tmp.name], check=True)
-            subprocess.run(["ffmpeg", "-v", "error", "-nostdin", "-y", "-i",
-                            tmp.name, dst], check=True)
+        # native libvorbisenc managed-bitrate encode (reference attack:
+        # oggenc -b N, src/ber-ogg.sh)
+        from audiowmark_tpu.io.vorbis import encode_vorbis
+        from audiowmark_tpu.io.wavdata import WavData
+        bitrate = int(kind.split(":")[1])
+        w = WavData.load(src)
+        with open(dst, "wb") as f:
+            f.write(encode_vorbis(w.samples, w.n_channels, w.sample_rate,
+                                  bitrate_kbps=bitrate))
         return
     raise SystemExit("unknown transform %r" % kind)
 
@@ -103,7 +108,9 @@ def main():
                 msg = "".join("%x" % int("".join(map(str, msg_bits[i:i + 4])), 2)
                               for i in range(0, 128, 4))
                 wm = os.path.join(tmpdir, "wm.wav")
-                attacked = os.path.join(tmpdir, "attacked.wav")
+                ext = {"mp3": ".mp3", "ogg": ".ogg"}.get(
+                    args.transform.split(":")[0], ".wav")
+                attacked = os.path.join(tmpdir, "attacked" + ext)
                 assert run_cli(["-q", "add", "--strength", args.strength,
                                 infile, wm, msg]) == 0
                 transform(args.transform, wm, attacked)
