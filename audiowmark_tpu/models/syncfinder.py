@@ -182,26 +182,15 @@ def search(key_list: List[Key], wav_data, mode: SyncMode) -> List[KeyResult]:
             for t in sel
         ]
 
-        # ---- refine: +-256 around each candidate in steps of 8,
-        #      all candidates' fine positions in one batched device pass ----
-        all_positions = []
-        spans = []
-        for score in scores:
-            start = max(score.index - Params.sync_search_step, 0)
-            end = score.index + Params.sync_search_step
-            positions = np.arange(start, end + 1, Params.sync_search_fine)
-            spans.append((len(all_positions),
-                          len(all_positions) + positions.size))
-            all_positions.extend(positions)
-        quals_all = (sync_ops.refine_quality(
-            samples, n_channels, np.asarray(all_positions, dtype=np.int64),
+        # ---- refine: +-256 around each candidate in steps of 8 (grid of
+        #      65 fine positions per candidate) in batched device passes ----
+        grid_pos, grid_quals = sync_ops.refine_grid(
+            samples, n_channels,
+            np.asarray([s.index for s in scores], dtype=np.int64),
             sync_bits, silence_bounds)
-            if all_positions else np.zeros(0, np.float32))
 
         refined = []
-        for score, (lo, hi) in zip(scores, spans):
-            positions = all_positions[lo:hi]
-            quals = quals_all[lo:hi]
+        for score, positions, quals in zip(scores, grid_pos, grid_quals):
             best_quality = score.raw_quality
             best_index = score.index
             for pos, q in zip(positions, quals):

@@ -17,7 +17,7 @@ tau + 4*sync_frame offsets plus a reduction per sync bit — the reference's
 from __future__ import annotations
 
 from dataclasses import dataclass
-from functools import partial
+from functools import lru_cache, partial
 from typing import Optional, Tuple
 
 import numpy as np
@@ -298,90 +298,156 @@ def local_mean(scores: np.ndarray, distance: int = 20,
 
 # ---- refinement --------------------------------------------------------------
 
-@partial(jax.jit, static_argnames=("n_pos",))
-def _refine_scores(x: jnp.ndarray, starts: jnp.ndarray, awin: jnp.ndarray,
-                   v: jnp.ndarray, have: jnp.ndarray, n_pos: int,
-                   norm_factor: jnp.ndarray) -> jnp.ndarray:
-    """Quality for P fine positions, extracting the sync-frame windows on
-    device (vmapped dynamic slices of the signal — the host never gathers).
+N_REFINE = 2 * (Params.sync_search_step // Params.sync_search_fine) + 1  # 65
+_SPAN = Params.sync_search_fine * (N_REFINE - 1) + FRAME                 # 1536
+_N_SUB = _SPAN // Params.sync_search_fine                                # 192
+_SUB = Params.sync_search_fine                                           # 8
 
-    x: (n, C) signal; starts: (P, 6*n_pos) int32 window start sample-frames;
-    have: (P, 6*n_pos) float32
+
+@lru_cache(maxsize=None)
+def _dft_matrix() -> np.ndarray:
+    """Windowed real DFT onto bands [min_band, max_band]: (FRAME, 2*n_bands)
+    [cos | sin] columns.  On TPU a dense matmul against this beats
+    jnp.fft.rfft for the refine pass by ~5x and rides the MXU."""
+    from .frames import analysis_window
+    b = np.arange(Params.min_band, Params.max_band + 1)
+    j = np.arange(FRAME)
+    ang = -2.0 * np.pi * np.outer(j, b) / FRAME
+    m = np.concatenate([np.cos(ang), np.sin(ang)], axis=1)
+    return (m * analysis_window()[:, None].astype(np.float64)).astype(
+        np.float32)
+
+
+@partial(jax.jit, static_argnames=("n_pos", "use_dft"))
+def _refine_grid_scores(xpad: jnp.ndarray, span_starts: jnp.ndarray,
+                        awin: jnp.ndarray, dftm: jnp.ndarray, v: jnp.ndarray,
+                        have: jnp.ndarray, n_pos: int,
+                        norm_factor: jnp.ndarray,
+                        use_dft: bool) -> jnp.ndarray:
+    """Quality for a (K, N_REFINE) grid of fine positions.
+
+    Each (candidate, sync frame) pair needs N_REFINE windows stepping by
+    sync_search_fine — an overlapping family covered by ONE contiguous
+    _SPAN-sample slice.  The windows are then built from static slices of
+    the span's 8-sample chunks (no gather), and the band spectra come from
+    either a windowed-DFT matmul (TPU: MXU) or rfft (CPU: bit-identical to
+    the previous formulation).
+
+    xpad: (C, n + _SPAN) zero-padded channels-first signal;
+    span_starts: (K, J) int32;
+    have: (K, N_REFINE, J) float32 weights (0 also marks invalid slots).
+    Returns (K, N_REFINE) qualities.
+
+    Layout note: windows are built as N_REFINE static slices of the spans'
+    minor (time) axis — never an 8-element minor dim, which TPU tiling
+    would pad to 128 lanes (16x memory).
     """
-    P, J = starts.shape
+    K, J = span_starts.shape
+    C = xpad.shape[0]
 
-    def win(s):
-        return jax.lax.dynamic_slice_in_dim(x, s, FRAME, axis=0)  # (FRAME, C)
+    def span(s):
+        return jax.lax.dynamic_slice_in_dim(xpad, s, _SPAN, axis=1)
 
-    windows = jax.vmap(win)(starts.reshape(-1))       # (P*J, FRAME, C)
-    db = _db_frames(jnp.swapaxes(windows, 1, 2), awin)
-    db = db.reshape(P, J, N_BANDS)
-    u = jnp.einsum("pjb,jb->pj", db, v[0::2])
-    d = jnp.einsum("pjb,jb->pj", db, v[1::2])
-    u = jnp.sum((u * have).reshape(P, 6, n_pos), axis=2)
-    d = jnp.sum((d * have).reshape(P, 6, n_pos), axis=2)
-    cnt = jnp.sum(have.reshape(P, 6, n_pos), axis=2)
-    expect = (jnp.arange(6) & 1).astype(jnp.float32)[None, :]
+    spans = jax.vmap(span)(span_starts.reshape(-1))     # (K*J, C, _SPAN)
+    flat = spans.reshape(K * J * C, _SPAN)
+
+    specs = []
+    for k in range(N_REFINE):
+        w = jax.lax.slice_in_dim(flat, _SUB * k, _SUB * k + FRAME, axis=1)
+        if use_dft:
+            specs.append(jnp.dot(w, dftm,
+                                 preferred_element_type=jnp.float32))
+        else:
+            s = jnp.fft.rfft(w * awin[None, :], axis=-1)
+            s = s[:, Params.min_band:Params.max_band + 1]
+            specs.append(jnp.concatenate([jnp.real(s), jnp.imag(s)], axis=1))
+    spec = jnp.stack(specs, axis=1)                     # (K*J*C, 65, 2*NB)
+    abs2 = spec[..., :N_BANDS] ** 2 + spec[..., N_BANDS:] ** 2
+    db = jnp.where(abs2 > 0, jnp.log2(abs2) * jnp.float32(_LOG2_DB),
+                   jnp.float32(MIN_DB))
+    db = jnp.sum(db.reshape(K, J, C, N_REFINE, N_BANDS), axis=2)
+    # (K, J, N_REFINE, N_BANDS) — the kjpb order used below
+
+    u = jnp.einsum("kjpb,jb->kpj", db, v[0::2])
+    d = jnp.einsum("kjpb,jb->kpj", db, v[1::2])
+    u = jnp.sum((u * have).reshape(K, N_REFINE, 6, n_pos), axis=3)
+    d = jnp.sum((d * have).reshape(K, N_REFINE, 6, n_pos), axis=3)
+    cnt = jnp.sum(have.reshape(K, N_REFINE, 6, n_pos), axis=3)
+    expect = (jnp.arange(6) & 1).astype(jnp.float32)[None, None, :]
     raw = jnp.where((u == 0) | (d == 0), 0.0,
                     jnp.where(u < d, 1.0 - u / d, d / u - 1.0))
     q = jnp.where(expect > 0, raw, -raw)
-    total_cnt = jnp.sum(cnt, axis=1)
+    total_cnt = jnp.sum(cnt, axis=2)
     quality = jnp.where(total_cnt > 0,
-                        jnp.sum(q * cnt, axis=1) / jnp.maximum(total_cnt, 1), 0.0)
+                        jnp.sum(q * cnt, axis=2)
+                        / jnp.maximum(total_cnt, 1), 0.0)
     return quality * norm_factor
 
 
-def refine_quality(samples: np.ndarray, n_channels: int,
-                   positions: np.ndarray, sync_bits: SyncBits,
-                   silence_bounds: Optional[Tuple[int, int]] = None
-                   ) -> np.ndarray:
-    """sync_decode quality at arbitrary sample positions (fine refinement).
+def refine_grid(samples: np.ndarray, n_channels: int, bases: np.ndarray,
+                sync_bits: SyncBits,
+                silence_bounds: Optional[Tuple[int, int]] = None):
+    """Refinement qualities for candidate starts `bases` over the
+    reference's fine grid start..base+step step fine with
+    start = max(base - step, 0) (src/syncfinder.cc:427-442).
 
-    Positions whose full (long) block would read past the end get quality
-    NaN (the reference skips them).  Only sync frames are transformed.
+    Returns (positions (K, N_REFINE) int64, quals (K, N_REFINE) float32);
+    invalid slots (past grid end or reading past EOF) are NaN.
     """
+    K = bases.size
+    if K == 0:
+        return (np.zeros((0, N_REFINE), np.int64),
+                np.zeros((0, N_REFINE), np.float32))
+    # bucket K to a power of two (single compile per bucket), tiled at 16
+    # candidates per device pass to bound the (K, J, 65, bands) intermediates
+    Kb = 1
+    while Kb < K:
+        Kb *= 2
+    Kb = min(Kb, 16)
+    if K % Kb:
+        bases = np.concatenate(
+            [bases, np.zeros(Kb - K % Kb, bases.dtype)])
     x = samples.reshape(-1, n_channels)
-    n_frames_avail = x.shape[0]
+    n_avail = x.shape[0]
     total = sync_bits.total_frames
-    P = positions.size
-    out = np.full(P, np.nan, dtype=np.float32)
-    ok = positions + total * FRAME <= n_frames_avail
-    ok &= positions >= 0
-    if not ok.any():
-        return out
+    step = Params.sync_search_step
+    fine = Params.sync_search_fine
 
-    pos_ok = positions[ok].astype(np.int64)
-    frames = sync_bits.frame.reshape(-1).astype(np.int64)   # (6*n_pos,)
+    bases = bases.astype(np.int64)
+    grid_start = np.maximum(bases - step, 0)
+    grid_end = bases + step
+    k_idx = np.arange(N_REFINE)
+    positions = grid_start[:, None] + fine * k_idx[None, :]   # (K, 65)
+    valid = (positions <= grid_end[:, None]) \
+        & (positions + total * FRAME <= n_avail)
+
+    frames = sync_bits.frame.reshape(-1).astype(np.int64)     # (J,)
     J = frames.size
-    starts = pos_ok[:, None] + frames[None, :] * FRAME      # (P_ok, J)
+    span_starts = (grid_start[:, None] + frames[None, :] * FRAME).astype(
+        np.int32)
 
-    have = np.ones((pos_ok.size, J), dtype=np.float32)
+    have = valid[:, :, None].astype(np.float32).repeat(J, axis=2)
     if silence_bounds is not None:
         first, last = silence_bounds
-        f_first = starts * n_channels
-        f_last = (starts + FRAME) * n_channels
-        have = (~((f_last < first) | (f_first > last))).astype(np.float32)
+        w_start = (positions[:, :, None] + frames[None, None, :] * FRAME)
+        f_first = w_start * n_channels
+        f_last = (w_start + FRAME) * n_channels
+        have *= (~((f_last < first) | (f_first > last))).astype(np.float32)
 
+    xpad = jnp.asarray(np.concatenate(
+        [np.ascontiguousarray(x.T),
+         np.zeros((n_channels, _SPAN), np.float32)], axis=1))
+    use_dft = jax.default_backend() == "tpu"
+    from .frames import analysis_window
     awin = jnp.asarray(analysis_window())
+    dftm = jnp.asarray(_dft_matrix())
     v = jnp.asarray(sync_bits.v)
     norm = jnp.float32(normalize_factor())
-    x_dev = jnp.asarray(x)                       # one signal upload
 
-    # bound device window memory: each position materializes J*C*FRAME floats
-    TILE = max(1, (64 << 20) // (J * n_channels * FRAME * 4))
-    res = np.empty(pos_ok.size, dtype=np.float32)
-    starts32 = starts.astype(np.int32)
-    for p0 in range(0, pos_ok.size, TILE):
-        p1 = min(p0 + TILE, pos_ok.size)
-        # pad the tail tile to the full tile shape to avoid a recompile
-        s_tile = starts32[p0:p1]
-        h_tile = have[p0:p1]
-        if p1 - p0 < TILE and pos_ok.size > TILE:
-            pad = TILE - (p1 - p0)
-            s_tile = np.concatenate([s_tile, np.zeros((pad, J), np.int32)])
-            h_tile = np.concatenate([h_tile, np.zeros((pad, J), np.float32)])
-        res[p0:p1] = np.asarray(_refine_scores(
-            x_dev, jnp.asarray(s_tile), awin, v, jnp.asarray(h_tile),
-            sync_bits.n_pos, norm))[: p1 - p0]
-    out[ok] = res
-    return out
+    quals = np.empty((bases.size, N_REFINE), dtype=np.float32)
+    for k0 in range(0, bases.size, Kb):
+        quals[k0:k0 + Kb] = np.asarray(_refine_grid_scores(
+            xpad, jnp.asarray(span_starts[k0:k0 + Kb]), awin, dftm, v,
+            jnp.asarray(have[k0:k0 + Kb]), sync_bits.n_pos, norm, use_dft))
+    quals = np.where(valid[:K], quals[:K], np.nan).astype(np.float32)
+    return positions[:K], quals

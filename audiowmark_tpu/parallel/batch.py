@@ -18,10 +18,11 @@ import jax.numpy as jnp
 
 from ..crypto.keys import Key
 from ..models.common import build_ab_frame_mods, parse_payload
+from ..ops.detect_fused import DetectorConfig, build_detector
 from ..ops.frames import FRAME
 from ..params import Params
 from ..tables import get_key_tables
-from .mesh import Mesh, batch_embed_sharded, make_mesh
+from .mesh import Mesh, P, batch_embed_sharded, make_mesh, shard_map
 
 
 @jax.jit
@@ -93,3 +94,36 @@ def watermark_batch(key: Key, audio: np.ndarray, message_hex: str,
     if apply_limiter:
         marked = _limiter_batch(marked)
     return np.asarray(marked)
+
+
+def detect_batch(key: Key, audio: np.ndarray,
+                 mesh: Optional[Mesh] = None, top_k: int = 8) -> dict:
+    """Fleet-scale batch detection: the full fused block-detect chain
+    (spectrogram, score sweep, local mean, top-k, grid refine, block decode,
+    batched Viterbi — ops/detect_fused.py) over a batch of equal-length
+    streams, data-parallel over the mesh's dp axis.
+
+    audio: (B, n_samples, C) float32 at 44.1 kHz; B must divide dp.
+    Returns dict of arrays with leading (B, top_k): positions (sample
+    index), qualities, block_is_a, bits (payload), errors.
+    """
+    assert audio.ndim == 3
+    if mesh is None:
+        mesh = make_mesh()
+    B_streams, n_samples, C = audio.shape
+    dp = mesh.devices.shape[0] * mesh.devices.shape[1]
+    assert B_streams % dp == 0, "batch %d must divide %d devices" \
+        % (B_streams, dp)
+
+    T = n_samples // FRAME
+    det = build_detector(key, DetectorConfig(n_frames=T, n_channels=C,
+                                             top_k=top_k))
+    batched = jax.vmap(lambda x: det(x.reshape(-1)))
+
+    # streams shard over every device (dp*sp used as one flat data axis)
+    flat_mesh = Mesh(mesh.devices.reshape(-1), axis_names=("streams",))
+    fn = shard_map(batched, mesh=flat_mesh,
+                   in_specs=(P("streams"),), out_specs=P("streams"),
+                   check_vma=False)
+    out = jax.jit(fn)(jnp.asarray(audio[:, : T * FRAME]))
+    return {k: np.asarray(v) for k, v in out.items()}

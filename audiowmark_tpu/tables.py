@@ -89,12 +89,12 @@ class KeyTables:
         return self.pos_vec[np.asarray(f) + self.n_sync_frames]
 
 
-_cache: Dict[Tuple[bytes, int, int, bool], KeyTables] = {}
+_cache: Dict[Tuple[bytes, int, int, bool, int], KeyTables] = {}
 
 
 def get_key_tables(key: Key) -> KeyTables:
     cache_key = (key.aes_key(), Params.payload_size, Params.frames_per_bit,
-                 Params.payload_short)
+                 Params.payload_short, Params.sync_frames_per_bit)
     hit = _cache.get(cache_key)
     if hit is not None:
         return hit

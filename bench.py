@@ -49,6 +49,7 @@ from audiowmark_tpu.models.common import build_ab_frame_mods, parse_payload
 from audiowmark_tpu.ops.frames import (
     FRAME, MIN_DB, _LOG2_DB, analysis_window, synthesis_window)
 from audiowmark_tpu.ops import sync as sync_ops
+from audiowmark_tpu.ops.sync import _SPAN, _SUB, _dft_matrix
 from audiowmark_tpu.params import Params
 from audiowmark_tpu.tables import get_key_tables
 
@@ -190,25 +191,43 @@ def build_pipeline():
         top = jax.lax.top_k(abs_q, TOP_K)[1]                # (K,) tau indices
 
         max_pos = n_samples - frames_per_block * FRAME
+        # channels-first zero-padded view for the refine span slices
+        lpad = jnp.concatenate(
+            [limited.T, jnp.zeros((N_CHANNELS, _SPAN), jnp.float32)], axis=1)
+        dftm = jnp.asarray(_dft_matrix())
+        J = sync_frames.shape[0]
 
         def per_candidate(t):
             base = t * sync_ops.HOP
             cmean = mean[t]
-            # refine: +-256 in steps of 8 (src/syncfinder.cc:393-458)
-            pos = base - Params.sync_search_step \
-                + Params.sync_search_fine * jnp.arange(REFINE_STEPS)
-            pos = jnp.clip(pos, 0, max_pos)
-            starts = (pos[:, None] + sync_frames[None, :] * FRAME)
-            wins = jax.vmap(
-                lambda s: jax.lax.dynamic_slice_in_dim(limited, s, FRAME)
-            )(starts.reshape(-1))                            # (P*J, FRAME, C)
-            db = db_rows(wins).reshape(REFINE_STEPS, -1, n_bands)
-            u = jnp.einsum("pjb,jb->pj", db, V[0::2])
-            d = jnp.einsum("pjb,jb->pj", db, V[1::2])
+            # refine: +-256 in steps of 8, grid start max(base-256, 0)
+            # (src/syncfinder.cc:427-442) via span slices + DFT matmul
+            start = jnp.maximum(base - Params.sync_search_step, 0)
+            pos = start + Params.sync_search_fine * jnp.arange(REFINE_STEPS)
+            valid = ((pos <= base + Params.sync_search_step)
+                     & (pos <= max_pos)).astype(jnp.float32)
+            span_starts = start + sync_frames * FRAME          # (J,)
+            spans = jax.vmap(
+                lambda s: jax.lax.dynamic_slice_in_dim(lpad, s, _SPAN, axis=1)
+            )(span_starts)                                     # (J, C, _SPAN)
+            flat = spans.reshape(J * N_CHANNELS, _SPAN)
+            specs = [
+                jnp.dot(jax.lax.slice_in_dim(flat, _SUB * k,
+                                             _SUB * k + FRAME, axis=1),
+                        dftm, preferred_element_type=jnp.float32)
+                for k in range(REFINE_STEPS)]
+            spec = jnp.stack(specs, axis=1)                    # (J*C, 65, 2NB)
+            abs2 = spec[..., :n_bands] ** 2 + spec[..., n_bands:] ** 2
+            db = jnp.where(abs2 > 0, jnp.log2(abs2) * jnp.float32(_LOG2_DB),
+                           jnp.float32(MIN_DB))
+            db = jnp.sum(db.reshape(J, N_CHANNELS, REFINE_STEPS, n_bands),
+                         axis=1)                               # (J, 65, NB)
+            u = jnp.einsum("jpb,jb->pj", db, V[0::2]) * valid[:, None]
+            d = jnp.einsum("jpb,jb->pj", db, V[1::2]) * valid[:, None]
             fine_q = bit_quality(
                 jnp.sum(u.reshape(REFINE_STEPS, 6, n_pos), axis=2),
                 jnp.sum(d.reshape(REFINE_STEPS, 6, n_pos), axis=2))
-            best = jnp.argmax(jnp.abs(fine_q - cmean))
+            best = jnp.argmax(jnp.abs(fine_q - cmean) * valid)
             best_pos = pos[best]
 
             # block decode: 2226 consecutive frames at the refined start
