@@ -28,6 +28,7 @@ from ..crypto.keys import Key
 from ..ops.frames import FRAME, MIN_DB, _LOG2_DB, analysis_window
 from ..params import Params
 from ..tables import KeyTables, get_key_tables, randomize_bit_order
+from ..utils.devcache import device_array
 from . import syncfinder
 from .resultset import PatternType, ResultSet
 from .syncfinder import SyncMode
@@ -63,9 +64,9 @@ def _block_db_batch(samples: np.ndarray, n_channels: int,
     index; candidates reading past the end are dropped (reference skips
     them).  Returns {index: db}.  K is bucketed to a power of two so XLA
     compiles once per (frame_count, bucket)."""
-    x = samples.reshape(-1, n_channels)
+    n_sample_frames = samples.size // n_channels
     valid = [i for i in dict.fromkeys(indices)
-             if i + frame_count * FRAME <= x.shape[0]]
+             if i + frame_count * FRAME <= n_sample_frames]
     if not valid:
         return {}
     K = 1
@@ -73,8 +74,9 @@ def _block_db_batch(samples: np.ndarray, n_channels: int,
         K *= 2
     idx = np.zeros(K, dtype=np.int32)
     idx[: len(valid)] = valid
+    x_dev = device_array(samples).reshape(-1, n_channels)
     dbs = np.asarray(_block_db_batch_dev(
-        jnp.asarray(x), jnp.asarray(idx), jnp.asarray(analysis_window()),
+        x_dev, jnp.asarray(idx), jnp.asarray(analysis_window()),
         frame_count))
     return {i: dbs[k] for k, i in enumerate(valid)}
 

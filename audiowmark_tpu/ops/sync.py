@@ -27,6 +27,7 @@ import jax.numpy as jnp
 
 from ..params import Params
 from ..tables import KeyTables
+from ..utils.devcache import device_array
 from .frames import (FRAME, MIN_DB, _LOG2_DB, _db_spectrogram_core,
                      analysis_window)
 
@@ -108,22 +109,26 @@ def _hop_spec_tile(xc: jnp.ndarray, start: jnp.ndarray, awin: jnp.ndarray,
 
 def hop_spectrogram(samples: np.ndarray, n_channels: int,
                     silence_bounds: Optional[Tuple[int, int]] = None
-                    ) -> Tuple[np.ndarray, np.ndarray]:
+                    ) -> Tuple[jnp.ndarray, np.ndarray]:
     """Hop-256 dB spectrogram over the whole signal.
 
-    Returns (S (n_taus, N_BANDS) float32, have (n_taus,) bool).  Row tau
-    covers samples [tau*HOP, tau*HOP + FRAME); n_taus = 4*(F-1) with
+    Returns (S (n_taus, N_BANDS) float32 DEVICE array, have (n_taus,) bool).
+    Row tau covers samples [tau*HOP, tau*HOP + FRAME); n_taus = 4*(F-1) with
     F = frame_count, matching the reference's per-shift F-1 frames.
     silence_bounds (first, last) are raw interleaved sample-value indices for
     CLIP-mode silence skipping (src/syncfinder.cc:583-585).  Masked rows are
     never used by the sweep (contributions are multiplied by `have`), so the
     tile kernel computes all rows unconditionally.
+
+    The result stays on device (tiles are enqueued asynchronously, never
+    fetched) so the downstream band-sum matmul + sweep chain without a
+    host synchronization — one fetch at the end of the whole search.
     """
     x = samples.reshape(-1, n_channels)
     F = x.shape[0] // FRAME
     n_taus = SHIFTS * (F - 1)
     if n_taus <= 0:
-        return (np.zeros((0, N_BANDS), np.float32),
+        return (jnp.zeros((0, N_BANDS), jnp.float32),
                 np.zeros(0, dtype=bool))
 
     have = np.ones(n_taus, dtype=bool)
@@ -137,16 +142,20 @@ def hop_spectrogram(samples: np.ndarray, n_channels: int,
     TILE = 16384
     n_chunks = x.shape[0] // HOP
     pad_chunks = -(-n_taus // TILE) * TILE + SHIFTS - 1
-    xc = np.zeros((pad_chunks, HOP, n_channels), dtype=np.float32)
-    xc[:n_chunks] = x[: n_chunks * HOP].reshape(n_chunks, HOP, n_channels)
-    xc_j = jnp.asarray(xc)
+    # one cached upload of the raw buffer; the chunk view + padding are
+    # derived on device
+    x_dev = device_array(samples).reshape(-1, n_channels)
+    xc_j = x_dev[: n_chunks * HOP].reshape(n_chunks, HOP, n_channels)
+    if pad_chunks > n_chunks:
+        xc_j = jnp.concatenate(
+            [xc_j, jnp.zeros((pad_chunks - n_chunks, HOP, n_channels),
+                             jnp.float32)], axis=0)
     awin = jnp.asarray(analysis_window())
 
-    S = np.empty((n_taus, N_BANDS), dtype=np.float32)
-    for t0 in range(0, n_taus, TILE):
-        db = np.asarray(_hop_spec_tile(xc_j, jnp.int32(t0), awin, TILE))
-        S[t0:min(t0 + TILE, n_taus)] = db[: min(TILE, n_taus - t0)]
-    return S, have
+    tiles = [_hop_spec_tile(xc_j, jnp.int32(t0), awin, TILE)
+             for t0 in range(0, n_taus, TILE)]
+    S = tiles[0] if len(tiles) == 1 else jnp.concatenate(tiles, axis=0)
+    return S[:n_taus], have
 
 
 # ---- sync score sweep --------------------------------------------------------
@@ -227,21 +236,22 @@ def _get_slice_sweep_fn(off_tuple: tuple, n_pos: int, n_starts: int):
     return fn
 
 
-def sync_score_sweep(S: np.ndarray, have: np.ndarray,
-                     sync_bits: SyncBits) -> np.ndarray:
-    """Quality for every valid start tau; returns (n_starts,) float32.
+def sync_score_sweep(S, have: np.ndarray, sync_bits: SyncBits) -> jnp.ndarray:
+    """Quality for every valid start tau; returns (n_starts,) float32 on
+    DEVICE (callers fetch once, after chaining any further device work).
 
     Start tau t corresponds to sample index t*HOP; valid range mirrors the
     reference's per-shift bound start_frame <= F-2-total_frames.  BLOCK mode
     (no silence mask) uses the static-slice formulation; CLIP mode keeps the
     masked gather path.
     """
+    S = jnp.asarray(S)
     n_taus = S.shape[0]
     F = n_taus // SHIFTS + 1
     n_start_frames = F - 1 - sync_bits.total_frames
     n_starts = SHIFTS * n_start_frames
     if n_starts <= 0:
-        return np.zeros(0, dtype=np.float32)
+        return jnp.zeros(0, dtype=jnp.float32)
 
     V = jnp.asarray(sync_bits.v)                      # (2*6*n_pos, N_BANDS)
     offsets_np = (SHIFTS * sync_bits.frame.reshape(-1)).astype(np.int32)
@@ -254,27 +264,27 @@ def sync_score_sweep(S: np.ndarray, have: np.ndarray,
         need_rows = int(offsets_np.max()) + bucket
         S_pad = S
         if need_rows > n_taus:
-            S_pad = np.concatenate(
-                [S, np.zeros((need_rows - n_taus, S.shape[1]), np.float32)])
-        Dt = jnp.dot(V, jnp.asarray(S_pad).T,
-                     preferred_element_type=jnp.float32)
+            S_pad = jnp.concatenate(
+                [S, jnp.zeros((need_rows - n_taus, S.shape[1]),
+                              jnp.float32)])
+        Dt = jnp.dot(V, S_pad.T, preferred_element_type=jnp.float32)
         fn = _get_slice_sweep_fn(tuple(int(o) for o in offsets_np),
                                  sync_bits.n_pos, bucket)
-        return np.asarray(fn(Dt, norm))[:n_starts]
+        return fn(Dt, norm)[:n_starts]
 
-    D = jnp.dot(jnp.asarray(S), V.T,
+    D = jnp.dot(S, V.T,
                 preferred_element_type=jnp.float32)   # (n_taus, 2*6*n_pos)
     have_f = jnp.asarray(have, dtype=jnp.float32)
     offsets = jnp.asarray(offsets_np)
 
-    out = np.empty(n_starts, dtype=np.float32)
+    tiles = []
     TILE = 8192
     for t0 in range(0, n_starts, TILE):
         t1 = min(t0 + TILE, n_starts)
         starts = jnp.asarray(np.arange(t0, t1, dtype=np.int32))
-        out[t0:t1] = np.asarray(_sync_scores_tile(
+        tiles.append(_sync_scores_tile(
             D, have_f, starts, offsets, sync_bits.n_pos, norm))
-    return out
+    return tiles[0] if len(tiles) == 1 else jnp.concatenate(tiles)
 
 
 def local_mean(scores: np.ndarray, distance: int = 20,
@@ -434,9 +444,9 @@ def refine_grid(samples: np.ndarray, n_channels: int, bases: np.ndarray,
         f_last = (w_start + FRAME) * n_channels
         have *= (~((f_last < first) | (f_first > last))).astype(np.float32)
 
-    xpad = jnp.asarray(np.concatenate(
-        [np.ascontiguousarray(x.T),
-         np.zeros((n_channels, _SPAN), np.float32)], axis=1))
+    x_dev = device_array(samples).reshape(-1, n_channels)
+    xpad = jnp.concatenate(
+        [x_dev.T, jnp.zeros((n_channels, _SPAN), jnp.float32)], axis=1)
     use_dft = jax.default_backend() == "tpu"
     from .frames import analysis_window
     awin = jnp.asarray(analysis_window())
