@@ -581,22 +581,124 @@ def encode_flac(samples: np.ndarray, n_channels: int, rate: int,
 
 # ---- stream integration ------------------------------------------------------
 
+def _read_stream_info(f) -> dict:
+    """Parse the fLaC marker + metadata blocks from a file object, leaving
+    it positioned at the first audio frame."""
+    if f.read(4) != b"fLaC":
+        raise FlacError("not a FLAC stream")
+    info = None
+    while True:
+        hdr = f.read(4)
+        if len(hdr) < 4:
+            raise FlacError("truncated metadata")
+        length = int.from_bytes(hdr[1:4], "big")
+        body = f.read(length)
+        if len(body) < length:
+            raise FlacError("truncated metadata")
+        if (hdr[0] & 0x7F) == 0:  # STREAMINFO
+            si = body[:34]
+            if len(si) < 34:
+                raise FlacError("short STREAMINFO")
+            rate = (si[10] << 12) | (si[11] << 4) | (si[12] >> 4)
+            n_channels = ((si[12] >> 1) & 0x7) + 1
+            bps = (((si[12] & 1) << 4) | (si[13] >> 4)) + 1
+            total = (((si[13] & 0x0F) << 32) |
+                     int.from_bytes(si[14:18], "big"))
+            info = {"rate": rate, "channels": n_channels, "bps": bps,
+                    "total": total}
+        if hdr[0] & 0x80:
+            break
+    if info is None:
+        raise FlacError("missing STREAMINFO")
+    return info
+
+
+class _StreamingFrameReader:
+    """Incremental frame decoder over a sliding byte window.
+
+    Frames are byte-aligned back to back, so after each decoded frame the
+    consumed prefix is dropped and the window refilled — memory stays
+    bounded by the window size regardless of file length (the reference
+    streams FLAC through libsndfile read_frames the same way,
+    src/sfinputstream.cc:189-210).  A frame truncated by the window edge
+    raises inside the bit reader; the window refills and retries, and only
+    an error with no new bytes available is real.
+    """
+
+    REFILL = 4 << 20        # bytes appended per refill
+
+    def __init__(self, f, info: dict):
+        self.f = f
+        self.info = info
+        self.buf = b""
+        self.br = None
+        self.eof = False
+
+    def _refill(self) -> bool:
+        data = self.f.read(self.REFILL)
+        if not data:
+            self.eof = True
+            return False
+        if self.br is not None:
+            byte_pos = self.br.pos // 8
+            self.buf = self.buf[byte_pos:] + data
+        else:
+            self.buf = self.buf + data
+        self.br = _BitReader(self.buf)
+        return True
+
+    def _slide(self):
+        if self.br is not None and self.br.pos // 8 > (self.REFILL >> 1):
+            byte_pos = self.br.pos // 8
+            self.buf = self.buf[byte_pos:]
+            self.br = _BitReader(self.buf)
+
+    def next_frame(self) -> Optional[np.ndarray]:
+        if self.br is None and not self._refill():
+            return None
+        while True:
+            save_pos = self.br.pos
+            try:
+                frame = _decode_frame(self.br, self.info)
+            except FlacError:
+                self.br.pos = save_pos
+                if self.eof or not self._refill():
+                    raise
+                continue
+            if frame is None and not self.eof:
+                # near the window edge; try with more data
+                self.br.pos = save_pos
+                if self._refill():
+                    continue
+            if frame is not None:
+                self._slide()
+            return frame
+
+
 class FlacInputStream(AudioInputStream):
-    """FLAC file input (decoded eagerly; SFInputStream FLAC analog)."""
+    """FLAC file input, decoded incrementally with bounded memory
+    (SFInputStream FLAC analog, src/sfinputstream.cc:189-210)."""
 
     def __init__(self, filename: str):
         from .streams import StreamError
         try:
-            with open(filename, "rb") as f:
-                data = f.read()
-            samples, nch, rate, bps = decode_flac(data)
-        except (OSError, FlacError) as e:
+            self._f = open(filename, "rb")
+        except OSError as e:
+            raise StreamError("error opening FLAC input: %s" % e)
+        try:
+            info = _read_stream_info(self._f)
+        except FlacError as e:
+            self._f.close()
             raise StreamError("error decoding FLAC input: %s" % e)
-        self._samples = samples
-        self._n_channels = nch
-        self._rate = rate
-        self._bps = bps
-        self._pos = 0
+        self._info = info
+        self._reader = _StreamingFrameReader(self._f, info)
+        self._n_channels = info["channels"]
+        self._rate = info["rate"]
+        self._bps = info["bps"]
+        self._scale = np.float32(1.0 / (1 << (self._bps - 1)))
+        self._total = info["total"] or None
+        self._emitted = 0
+        self._pending = np.zeros(0, dtype=np.float32)
 
     def bit_depth(self) -> int:
         return self._bps
@@ -608,16 +710,38 @@ class FlacInputStream(AudioInputStream):
         return self._n_channels
 
     def n_frames(self):
-        return self._samples.size // self._n_channels
+        return self._total
 
     def encoding(self):
         return Encoding.SIGNED
 
     def read_frames(self, count: int) -> np.ndarray:
-        n = count * self._n_channels
-        out = self._samples[self._pos:self._pos + n]
-        self._pos += out.size
+        from .streams import StreamError
+        want = count * self._n_channels
+        chunks = [self._pending]
+        have = self._pending.size
+        while have < want:
+            if self._total is not None \
+                    and self._emitted + have // self._n_channels \
+                    >= self._total:
+                break
+            try:
+                frame = self._reader.next_frame()
+            except FlacError as e:
+                raise StreamError("error decoding FLAC input: %s" % e)
+            if frame is None:
+                break
+            block = (frame.astype(np.float32) * self._scale).reshape(-1)
+            chunks.append(block)
+            have += block.size
+        buf = np.concatenate(chunks) if len(chunks) > 1 else chunks[0]
+        if self._total is not None:
+            remaining = (self._total - self._emitted) * self._n_channels
+            if buf.size > remaining:
+                buf = buf[:remaining]
+        out, self._pending = buf[:want], buf[want:]
+        self._emitted += out.size // self._n_channels
         return out
 
     def close(self):
-        pass
+        self._f.close()

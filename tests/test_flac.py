@@ -299,3 +299,36 @@ class TestIntegration:
         # 60 s: one full A block + clip decodes of the same payload
         assert cli.main(["cmp", "-q", str(out), msg,
                          "--expect-matches", "3"]) == 0
+
+
+def test_streaming_input_bounded_window_and_bit_exact(tmp_path):
+    """FlacInputStream decodes incrementally: output bit-exact vs the
+    whole-buffer decoder while the byte window stays bounded
+    (reference streams FLAC via libsndfile, src/sfinputstream.cc:189-210)."""
+    from audiowmark_tpu.io.flac import FlacInputStream, decode_flac, encode_flac
+
+    rng = np.random.RandomState(11)
+    n = 44100 * 30 * 2
+    samples = ((rng.rand(n) - 0.5) * 0.9).astype(np.float32)
+    data = encode_flac(samples, 2, 44100, 16)
+    path = tmp_path / "s.flac"
+    path.write_bytes(data)
+
+    golden, nch, rate, bps = decode_flac(data)
+
+    s = FlacInputStream(str(path))
+    assert (s.sample_rate(), s.n_channels(), s.bit_depth()) == (rate, nch, bps)
+    assert s.n_frames() == golden.size // nch
+    got = []
+    max_window = 0
+    while True:
+        chunk = s.read_frames(4096)
+        max_window = max(max_window, len(s._reader.buf))
+        if chunk.size == 0:
+            break
+        got.append(chunk)
+    s.close()
+    dec = np.concatenate(got)
+    np.testing.assert_array_equal(dec, golden)
+    # window stays bounded well under the ~5 MB compressed size + refill
+    assert max_window <= (6 << 20), max_window
