@@ -10,24 +10,24 @@ frames and keeps `size/1024` frames, muxing back to MPEG-TS at the original
 presentation timestamp.
 
 The FLAC piggyback payload uses the native codec (io/flac.py); AAC encode/
-decode and ffprobe validation run through the ffmpeg CLI, like the
-reference's use of ffmpeg libraries/subprocesses — without ffmpeg on PATH
-those commands report an actionable error (the reference similarly stubs
-out HLS when built without ffmpeg, src/hls.cc:41-55).
+decode, stream probing and the MPEG-TS mux run against the FFmpeg libraries
+through the native shim (native/ffshim.cc via io/ffshim.py) — exactly the
+libraries the reference's HLSOutputStream links (src/hlsoutputstream.cc).
+Without the shim built, HLS commands report an actionable error (the
+reference similarly stubs out HLS when built without ffmpeg,
+src/hls.cc:41-55).
 """
 
 from __future__ import annotations
 
 import os
 import re
-import shutil
-import subprocess
-import tempfile
-from typing import Dict, List, Optional
+from typing import Dict, Optional
 
 import numpy as np
 
 from ..crypto.keys import Key
+from ..io import ffshim
 from ..io.streams import AudioInputStream, AudioOutputStream
 from ..io.wavdata import WavData
 from ..params import Params
@@ -35,34 +35,32 @@ from ..utils.log import error, info
 from .mpegts import TSReader, TSWriter
 
 
-def _have_ffmpeg() -> bool:
-    return (shutil.which("ffmpeg") is not None
-            and shutil.which("ffprobe") is not None)
+def _have_codec_shim() -> bool:
+    return ffshim.available()
 
 
 def _no_ffmpeg_error() -> int:
-    error("audiowmark: hls support needs the ffmpeg and ffprobe binaries "
-          "on PATH\n")
+    error("audiowmark: hls support needs the native codec shim "
+          "(build with: make -C native)\n")
     return 1
 
 
-def _run(args: List[str], capture: bool = False):
-    res = subprocess.run(args, capture_output=True, text=not capture)
-    if res.returncode != 0:
-        raise RuntimeError("failed to execute %s: %s"
-                           % (" ".join(args), res.stderr))
-    return res.stdout
-
-
 def ff_decode_to_wavdata(filename: str, fmt: Optional[str] = None) -> WavData:
-    """Decode any ffmpeg-supported input to WavData via a temporary wav."""
-    with tempfile.NamedTemporaryFile(suffix=".wav") as tmp:
-        cmd = ["ffmpeg", "-v", "error", "-nostdin", "-y"]
-        if fmt:
-            cmd += ["-f", fmt]
-        cmd += ["-i", filename, "-f", "wav", tmp.name]
-        _run(cmd)
-        return WavData.load(tmp.name)
+    """Decode any libav-supported input to WavData (native shim)."""
+    stream = ffshim.FFInputStream(filename, fmt=fmt)
+    try:
+        chunks = []
+        while True:
+            block = stream.read_frames(65536)
+            if block.size == 0:
+                break
+            chunks.append(block)
+        samples = (np.concatenate(chunks) if chunks
+                   else np.zeros(0, np.float32))
+        return WavData(samples, stream.n_channels(), stream.sample_rate(),
+                       stream.bit_depth())
+    finally:
+        stream.close()
 
 
 def _flac_encode(samples: np.ndarray, n_channels: int, rate: int) -> bytes:
@@ -104,29 +102,11 @@ class MemoryInputStream(AudioInputStream):
         return out
 
 
-def _split_adts_frames(data: bytes) -> List[bytes]:
-    """Split an ADTS AAC bitstream into frames (7/9-byte headers with a
-    13-bit frame length field)."""
-    frames = []
-    pos = 0
-    n = len(data)
-    while pos + 7 <= n:
-        if data[pos] != 0xFF or (data[pos + 1] & 0xF0) != 0xF0:
-            pos += 1
-            continue
-        frame_len = ((data[pos + 3] & 0x03) << 11) \
-            | (data[pos + 4] << 3) | (data[pos + 5] >> 5)
-        if frame_len < 7 or pos + frame_len > n:
-            break
-        frames.append(data[pos:pos + frame_len])
-        pos += frame_len
-    return frames
-
-
 class HLSOutputStream(AudioOutputStream):
-    """AAC->MPEG-TS output: buffers watermarked samples, encodes to ADTS,
-    drops/keeps the configured AAC frame window and muxes to mpegts at the
-    original PTS (reference: src/hlsoutputstream.cc)."""
+    """AAC->MPEG-TS output: encodes watermarked samples with the native AAC
+    encoder as they stream in, drops/keeps the configured AAC frame window
+    (the shim also skips the encoder's priming packets) and muxes to mpegts
+    at the original PTS (reference: src/hlsoutputstream.cc)."""
 
     def __init__(self, n_channels: int, sample_rate: int, bit_depth: int):
         self._n_channels = n_channels
@@ -134,7 +114,7 @@ class HLSOutputStream(AudioOutputStream):
         self._bit_depth = bit_depth
         self.bit_rate = 0
         self.channel_layout = ""
-        self._buffer = []
+        self._writer: Optional[ffshim.HLSSegmentWriter] = None
         self._delete_input_start = 0
 
     def set_bit_rate(self, r: int):
@@ -145,11 +125,10 @@ class HLSOutputStream(AudioOutputStream):
 
     def open(self, filename: str, cut_aac_frames: int, keep_aac_frames: int,
              pts_start: float, delete_input_start: int):
-        self.filename = filename
-        self.cut_aac_frames = cut_aac_frames
-        self.keep_aac_frames = keep_aac_frames
-        self.pts_start = pts_start
         self._delete_input_start = delete_input_start
+        self._writer = ffshim.HLSSegmentWriter(
+            filename, self._sample_rate, self._n_channels, self.bit_rate,
+            cut_aac_frames, keep_aac_frames, pts_start)
 
     def sample_rate(self):
         return self._sample_rate
@@ -163,45 +142,16 @@ class HLSOutputStream(AudioOutputStream):
             samples = samples[n:]
             self._delete_input_start -= n // self._n_channels
         if samples.size:
-            self._buffer.append(np.asarray(samples, dtype=np.float32))
+            self._writer.write(np.asarray(samples, dtype=np.float32))
 
     def close(self):
-        samples = (np.concatenate(self._buffer) if self._buffer
-                   else np.zeros(0, np.float32))
-        with tempfile.NamedTemporaryFile(suffix=".aac") as aac:
-            cmd = ["ffmpeg", "-v", "error", "-nostdin", "-y", "-f", "f32le",
-                   "-ar", str(self._sample_rate),
-                   "-ac", str(self._n_channels), "-i", "-",
-                   "-c:a", "aac"]
-            if self.bit_rate:
-                cmd += ["-b:a", str(self.bit_rate)]
-            if self.channel_layout:
-                cmd += ["-channel_layout", self.channel_layout]
-            cmd += ["-f", "adts", aac.name]
-            p = subprocess.run(cmd, input=samples.tobytes(),
-                               capture_output=True)
-            if p.returncode != 0:
-                raise RuntimeError("aac encode failed: %s"
-                                   % p.stderr.decode())
-            frames = _split_adts_frames(open(aac.name, "rb").read())
-
-        # the encoder adds one frame of priming latency: frame k contains
-        # input samples (k-1)*1024..k*1024 — account for it like the
-        # reference's pts shift comment (src/hls.cc:262-266)
-        start = self.cut_aac_frames + 1
-        kept = frames[start:start + self.keep_aac_frames]
-        with tempfile.NamedTemporaryFile(suffix=".aac") as trimmed:
-            trimmed.write(b"".join(kept))
-            trimmed.flush()
-            _run(["ffmpeg", "-v", "error", "-nostdin", "-y",
-                  "-f", "aac", "-i", trimmed.name,
-                  "-c:a", "copy", "-f", "mpegts",
-                  "-output_ts_offset", "%f" % self.pts_start,
-                  self.filename])
+        if self._writer is not None:
+            self._writer.close()
+            self._writer = None
 
 
 def hls_add(key: Key, infile: str, outfile: str, bits: str) -> int:
-    if not _have_ffmpeg():
+    if not _have_codec_shim():
         return _no_ffmpeg_error()
     from ..models.embedder import add_stream_watermark
 
@@ -264,20 +214,12 @@ def _probe_input_segment(filename: str) -> Dict[str, str]:
     reader.load(filename)
     if reader.entries():
         raise RuntimeError("input for hls-prepare must not contain context")
-    out = _run(["ffprobe", "-v", "error", "-print_format", "compact",
-                "-show_streams", filename])
-    params: Dict[str, str] = {}
-    for line in out.splitlines():
-        for kv in line.split("|"):
-            if "=" in kv:
-                k, v = kv.split("=", 1)
-                params[k] = v
-    return params
+    return ffshim.probe(filename)
 
 
 def hls_prepare(in_dir: str, out_dir: str, filename: str,
                 audio_master: str) -> int:
-    if not _have_ffmpeg():
+    if not _have_codec_shim():
         return _no_ffmpeg_error()
 
     in_name = os.path.join(in_dir, filename)
@@ -313,7 +255,7 @@ def hls_prepare(in_dir: str, out_dir: str, filename: str,
         except Exception as e:
             error("audiowmark: hls: %s\n" % e)
             return 1
-        if int(params.get("index", "0")) != 0:
+        if int(params.get("nb_streams", "0")) != 1:
             error("audiowmark: hls segment '%s' contains more than one "
                   "stream\n" % segname)
             return 1
@@ -336,11 +278,16 @@ def hls_prepare(in_dir: str, out_dir: str, filename: str,
         segment["vars"]["pts_start"] = params["start_time"]
 
     if not Params.hls_bit_rate:
-        with tempfile.NamedTemporaryFile(suffix=".aac") as tmp:
-            _run(["ffmpeg", "-v", "error", "-nostdin", "-y", "-i", in_name,
-                  "-c:a", "copy", "-f", "adts", tmp.name])
-            seconds = audio_master_data.n_frames / audio_master_data.sample_rate
-            bit_rate = int(os.path.getsize(tmp.name) / seconds * 8)
+        # sum the AAC payload over the playlist and divide by the master
+        # duration (the reference remuxes to ADTS and sizes the file,
+        # src/hls.cc:306-318)
+        payload_bytes = 0
+        for segment in segments:
+            nbytes, _, _ = ffshim.payload_stats(
+                os.path.join(in_dir, segment["name"]))
+            payload_bytes += nbytes
+        seconds = audio_master_data.n_frames / audio_master_data.sample_rate
+        bit_rate = int(payload_bytes / seconds * 8)
         info("AAC Bitrate:  %d (detected)\n" % bit_rate)
     else:
         bit_rate = Params.hls_bit_rate

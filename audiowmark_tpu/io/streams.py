@@ -314,6 +314,12 @@ def create_input_stream(filename: str) -> AudioInputStream:
             from .mp3 import mp3_detect, MP3InputStream
             if mp3_detect(filename):
                 return MP3InputStream(filename)
+            # fallback: native libav shim decodes the remaining formats the
+            # reference reads via libsndfile — Opus, ALAC, AAC/M4A, MPEG-TS
+            # (reference: src/sfinputstream.cc:75-149)
+            from .ffshim import ff_detect, FFInputStream
+            if ff_detect(filename):
+                return FFInputStream(filename)
             raise StreamError(str(e))
     elif Params.input_format == Format.RAW:
         return RawInputStream(filename, Params.raw_input_format)

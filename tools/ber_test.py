@@ -3,14 +3,16 @@
 
 Python equivalent of the reference's ber-test.sh / fer-test.sh harnesses:
 for each input file and each random payload, embed, optionally run a lossy
-transform (mp3/ogg via ffmpeg, resample, speed change), decode, and report
-per-pattern bit error rates and the frame (payload) error rate.
+transform (mp3/ogg/opus/aac codecs, resample, speed change), decode, and
+report per-pattern bit error rates and the frame (payload) error rate.
 
     python tools/ber_test.py <wav...> [--seeds N] [--strength S]
-                             [--transform none|mp3:BITRATE|ogg:QUALITY|
+                             [--transform none|mp3:BITRATE|ogg:BITRATE|
+                              opus:BITRATE|aac:BITRATE|
                               resample:RATE|speed:FACTOR]
 
-Each transform needs ffmpeg on PATH except resample/speed (self-hosted).
+All transforms run on the native codec bindings (no external tools):
+libmp3lame, libvorbisenc, and the libav shim for opus/aac.
 """
 
 import argparse
@@ -68,6 +70,18 @@ def transform(kind, src, dst):
             f.write(encode_vorbis(w.samples, w.n_channels, w.sample_rate,
                                   bitrate_kbps=bitrate))
         return
+    if kind.startswith("opus:") or kind.startswith("aac:"):
+        # libav-shim encodes (the reference's ber harness attacks through
+        # whatever codecs its tools provide, src/ber-test.sh)
+        from audiowmark_tpu.io import ffshim
+        from audiowmark_tpu.io.wavdata import WavData
+        name, bitrate = kind.split(":")
+        w = WavData.load(src)
+        fmt, codec = (("ogg", "libopus") if name == "opus"
+                      else ("adts", "aac"))
+        ffshim.encode_file(dst, fmt, codec, w.samples, w.n_channels,
+                           w.sample_rate, int(bitrate) * 1000)
+        return
     raise SystemExit("unknown transform %r" % kind)
 
 
@@ -108,7 +122,8 @@ def main():
                 msg = "".join("%x" % int("".join(map(str, msg_bits[i:i + 4])), 2)
                               for i in range(0, 128, 4))
                 wm = os.path.join(tmpdir, "wm.wav")
-                ext = {"mp3": ".mp3", "ogg": ".ogg"}.get(
+                ext = {"mp3": ".mp3", "ogg": ".ogg", "opus": ".opus",
+                       "aac": ".aac"}.get(
                     args.transform.split(":")[0], ".wav")
                 attacked = os.path.join(tmpdir, "attacked" + ext)
                 assert run_cli(["-q", "add", "--strength", args.strength,
