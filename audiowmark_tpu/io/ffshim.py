@@ -91,6 +91,16 @@ def get_lib():
     lib.ffs_encoder_rate.restype = c.c_int
     lib.ffs_have_encoder.argtypes = [c.c_char_p]
     lib.ffs_have_encoder.restype = c.c_int
+    lib.ffs_stream_counts.argtypes = [c.c_char_p, c.POINTER(c.c_int),
+                                      c.POINTER(c.c_int), c.c_char_p,
+                                      c.c_int]
+    lib.ffs_stream_counts.restype = c.c_int
+    lib.ffr_remux_audio.argtypes = [c.c_char_p, c.c_char_p, c.c_char_p,
+                                    c.c_char_p, c.c_int]
+    lib.ffr_remux_audio.restype = c.c_int
+    lib.ffv_make_test_video.argtypes = [c.c_char_p, c.c_double, c.c_int,
+                                        c.c_int, c.c_char_p, c.c_int]
+    lib.ffv_make_test_video.restype = c.c_int
     lib.ffh_open.argtypes = [c.c_char_p, c.c_int, c.c_int, c.c_longlong,
                              c.c_longlong, c.c_longlong, c.c_double,
                              c.c_char_p, c.c_int]
@@ -177,6 +187,48 @@ def encode_file(filename: str, fmt: str, codec: str, samples: np.ndarray,
     if rc != 0:
         raise StreamError("encode %s: %s"
                           % (filename, err.value.decode(errors="replace")))
+
+
+def stream_counts(filename: str):
+    """(n_audio, n_video) streams (attached pictures excluded)."""
+    lib = get_lib()
+    if lib is None:
+        raise StreamError("native codec shim not built")
+    na = ctypes.c_int()
+    nv = ctypes.c_int()
+    err = ctypes.create_string_buffer(_ERRLEN)
+    if lib.ffs_stream_counts(filename.encode(), ctypes.byref(na),
+                             ctypes.byref(nv), err, _ERRLEN) != 0:
+        raise StreamError("stream counts %s: %s"
+                          % (filename, err.value.decode(errors="replace")))
+    return na.value, nv.value
+
+
+def remux_audio(in_path: str, audio_path: str, out_path: str):
+    """Copy video/subtitle streams of in_path, replacing the audio with a
+    fresh encode of audio_path at the original codec/bit rate (the
+    reference videowmark's merge step)."""
+    lib = get_lib()
+    if lib is None:
+        raise StreamError("native codec shim not built")
+    err = ctypes.create_string_buffer(_ERRLEN)
+    if lib.ffr_remux_audio(in_path.encode(), audio_path.encode(),
+                           out_path.encode(), err, _ERRLEN) != 0:
+        raise StreamError("remux %s: %s"
+                          % (out_path, err.value.decode(errors="replace")))
+
+
+def make_test_video(path: str, seconds: float, rate: int = 44100,
+                    channels: int = 2):
+    """Synthetic mpeg4+aac clip (fixture for videowmark tests)."""
+    lib = get_lib()
+    if lib is None:
+        raise StreamError("native codec shim not built")
+    err = ctypes.create_string_buffer(_ERRLEN)
+    if lib.ffv_make_test_video(path.encode(), seconds, rate, channels,
+                               err, _ERRLEN) != 0:
+        raise StreamError("test video %s: %s"
+                          % (path, err.value.decode(errors="replace")))
 
 
 def decode_file(filename: str, fmt: Optional[str] = None):

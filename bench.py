@@ -265,13 +265,46 @@ def build_pipeline():
     return jax.jit(step), n_coded
 
 
+# peak dense-matmul FLOP/s per chip by device kind (bf16 for TPU
+# generations with bf16 MXUs; conservative public numbers)
+_PEAK_FLOPS = {
+    "TPU v4": 275e12,
+    "TPU v5 lite": 197e12,
+    "TPU v5e": 197e12,
+    "TPU v5": 459e12,
+    "TPU v5p": 459e12,
+    "TPU v6 lite": 918e12,
+    "TPU v6e": 918e12,
+}
+
+
+def _device_peak_flops() -> float:
+    kind = jax.devices()[0].device_kind
+    for name, peak in _PEAK_FLOPS.items():
+        if kind.lower().startswith(name.lower()):
+            return peak
+    return 0.0
+
+
 def bench_fused():
     step, _ = build_pipeline()
     t0 = time.monotonic()
+    lowered = step.lower(0)
+    compiled = lowered.compile()
     float(step(0))               # float() forces a real device->host fetch
     compile_s = time.monotonic() - t0
     for w in range(2):
         float(step(w))
+
+    # XLA's own FLOP estimate for one fused step -> model FLOP utilization
+    step_flops = 0.0
+    try:
+        ca = compiled.cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0]
+        step_flops = float(ca.get("flops", 0.0))
+    except Exception:
+        pass
 
     iters = 10
     t0 = time.monotonic()
@@ -280,7 +313,10 @@ def bench_fused():
         acc += step(i + 1)
     float(acc)
     elapsed = time.monotonic() - t0
-    return AUDIO_SECONDS * iters / elapsed, compile_s
+
+    peak = _device_peak_flops()
+    mfu = (step_flops * iters / elapsed / peak) if peak and step_flops else -1.0
+    return AUDIO_SECONDS * iters / elapsed, compile_s, mfu
 
 
 def bench_production():
@@ -320,7 +356,7 @@ def bench_production():
 
 
 def main():
-    fused_factor, compile_s = bench_fused()
+    fused_factor, compile_s, mfu = bench_fused()
     prod_factor = bench_production()
     result = {
         "metric": "add_get_realtime_factor",
@@ -330,9 +366,11 @@ def main():
         "fused_kernel_factor": round(fused_factor, 1),
         "audio_seconds": AUDIO_SECONDS,
     }
+    if mfu >= 0:
+        result["fused_mfu"] = round(mfu, 4)
     print(json.dumps(result))
-    print("compile_s=%.1f fused=%.0fx production=%.0fx"
-          % (compile_s, fused_factor, prod_factor), file=sys.stderr)
+    print("compile_s=%.1f fused=%.0fx production=%.0fx mfu=%.4f"
+          % (compile_s, fused_factor, prod_factor, mfu), file=sys.stderr)
 
 
 if __name__ == "__main__":

@@ -741,4 +741,480 @@ int ffh_close(void *h, char *err, int errlen) {
   return rc;
 }
 
+// ---------------------------------------------------------------------------
+// video support (videowmark): stream counts, audio-replacement remux, and a
+// synthetic test-video generator.  The reference's videowmark drives the
+// ffmpeg CLI for these steps (reference src/videowmark); this provides the
+// same operations against the libraries directly.
+// ---------------------------------------------------------------------------
+
+int ffs_stream_counts(const char *path, int *n_audio, int *n_video,
+                      char *err, int errlen) {
+  AVFormatContext *fmt = nullptr;
+  int rc = avformat_open_input(&fmt, path, nullptr, nullptr);
+  if (rc < 0) {
+    set_err(err, errlen, "open failed", rc);
+    return -1;
+  }
+  if ((rc = avformat_find_stream_info(fmt, nullptr)) < 0) {
+    set_err(err, errlen, "no stream info", rc);
+    avformat_close_input(&fmt);
+    return -1;
+  }
+  *n_audio = 0;
+  *n_video = 0;
+  for (unsigned i = 0; i < fmt->nb_streams; i++) {
+    AVMediaType t = fmt->streams[i]->codecpar->codec_type;
+    if (t == AVMEDIA_TYPE_AUDIO)
+      (*n_audio)++;
+    else if (t == AVMEDIA_TYPE_VIDEO &&
+             !(fmt->streams[i]->disposition & AV_DISPOSITION_ATTACHED_PIC))
+      (*n_video)++;
+  }
+  avformat_close_input(&fmt);
+  return 0;
+}
+
+// remux `in_path`, copying every non-audio stream and replacing the audio
+// with a fresh encode of `audio_path` (the watermarked RF64/WAV) using the
+// original audio codec and bit rate (reference: videowmark cmd_add's
+// `-map 0:v -map 1:a -c:v copy -c:a <orig codec> -b:a <orig rate>`)
+int ffr_remux_audio(const char *in_path, const char *audio_path,
+                    const char *out_path, char *err, int errlen) {
+  AVFormatContext *in_fmt = nullptr;
+  int rc = avformat_open_input(&in_fmt, in_path, nullptr, nullptr);
+  if (rc < 0) {
+    set_err(err, errlen, "open input failed", rc);
+    return -1;
+  }
+  if ((rc = avformat_find_stream_info(in_fmt, nullptr)) < 0) {
+    set_err(err, errlen, "no stream info", rc);
+    avformat_close_input(&in_fmt);
+    return -1;
+  }
+  int audio_si =
+      av_find_best_stream(in_fmt, AVMEDIA_TYPE_AUDIO, -1, -1, nullptr, 0);
+  if (audio_si < 0) {
+    set_err(err, errlen, "no audio stream in input");
+    avformat_close_input(&in_fmt);
+    return -1;
+  }
+  AVStream *in_audio = in_fmt->streams[audio_si];
+  const char *audio_codec =
+      avcodec_get_name(in_audio->codecpar->codec_id);
+  long long bit_rate = in_audio->codecpar->bit_rate;
+
+  // watermarked audio source
+  Decoder *wav = (Decoder *)ffs_open(audio_path, nullptr, err, errlen);
+  if (!wav) {
+    avformat_close_input(&in_fmt);
+    return -1;
+  }
+
+  AVFormatContext *out_fmt = nullptr;
+  rc = avformat_alloc_output_context2(&out_fmt, nullptr, nullptr, out_path);
+  if (rc < 0 || !out_fmt) {
+    set_err(err, errlen, "output alloc failed", rc);
+    ffs_close(wav);
+    avformat_close_input(&in_fmt);
+    return -1;
+  }
+
+  // copied streams keep their parameters; the audio stream is re-encoded
+  std::vector<int> out_index(in_fmt->nb_streams, -1);
+  for (unsigned i = 0; i < in_fmt->nb_streams; i++) {
+    if ((int)i == audio_si)
+      continue;
+    AVStream *ist = in_fmt->streams[i];
+    if (ist->codecpar->codec_type != AVMEDIA_TYPE_VIDEO &&
+        ist->codecpar->codec_type != AVMEDIA_TYPE_SUBTITLE)
+      continue;
+    AVStream *ost = avformat_new_stream(out_fmt, nullptr);
+    if (!ost ||
+        avcodec_parameters_copy(ost->codecpar, ist->codecpar) < 0) {
+      set_err(err, errlen, "stream copy setup failed");
+      ffs_close(wav);
+      avformat_close_input(&in_fmt);
+      avformat_free_context(out_fmt);
+      return -1;
+    }
+    ost->codecpar->codec_tag = 0;
+    ost->time_base = ist->time_base;
+    out_index[i] = ost->index;
+  }
+
+  const AVCodec *enc_codec = avcodec_find_encoder_by_name(audio_codec);
+  if (!enc_codec)
+    enc_codec = avcodec_find_encoder(in_audio->codecpar->codec_id);
+  if (!enc_codec) {
+    set_err(err, errlen, "no encoder for input audio codec");
+    ffs_close(wav);
+    avformat_close_input(&in_fmt);
+    avformat_free_context(out_fmt);
+    return -1;
+  }
+  AVCodecContext *enc = avcodec_alloc_context3(enc_codec);
+  enc->sample_rate = enc_pick_rate(enc_codec, wav->rate);
+  av_channel_layout_default(&enc->ch_layout, wav->channels);
+  enc->sample_fmt = enc_pick_fmt(enc_codec);
+  if (bit_rate > 0)
+    enc->bit_rate = bit_rate;
+  enc->time_base = AVRational{1, enc->sample_rate};
+  if (out_fmt->oformat->flags & AVFMT_GLOBALHEADER)
+    enc->flags |= AV_CODEC_FLAG_GLOBAL_HEADER;
+  enc->strict_std_compliance = FF_COMPLIANCE_EXPERIMENTAL;
+  if ((rc = avcodec_open2(enc, enc_codec, nullptr)) < 0) {
+    set_err(err, errlen, "audio encoder open failed", rc);
+    avcodec_free_context(&enc);
+    ffs_close(wav);
+    avformat_close_input(&in_fmt);
+    avformat_free_context(out_fmt);
+    return -1;
+  }
+  AVStream *out_audio = avformat_new_stream(out_fmt, nullptr);
+  avcodec_parameters_from_context(out_audio->codecpar, enc);
+  out_audio->time_base = enc->time_base;
+
+  SwrContext *swr = nullptr;
+  AVChannelLayout in_layout;
+  av_channel_layout_default(&in_layout, wav->channels);
+  rc = swr_alloc_set_opts2(&swr, &enc->ch_layout, enc->sample_fmt,
+                           enc->sample_rate, &in_layout, AV_SAMPLE_FMT_FLT,
+                           wav->rate, 0, nullptr);
+  av_channel_layout_uninit(&in_layout);
+  int frame_size = enc->frame_size > 0 ? enc->frame_size : 4096;
+  AVAudioFifo *fifo =
+      av_audio_fifo_alloc(enc->sample_fmt, wav->channels, frame_size * 4);
+  AVPacket *pkt = av_packet_alloc();
+  AVFrame *frame = av_frame_alloc();
+
+  bool fail = rc < 0 || swr_init(swr) < 0 || !fifo || !pkt || !frame;
+  if (!fail && !(out_fmt->oformat->flags & AVFMT_NOFILE))
+    fail = avio_open(&out_fmt->pb, out_path, AVIO_FLAG_WRITE) < 0;
+  if (!fail)
+    fail = avformat_write_header(out_fmt, nullptr) < 0;
+  bool header_ok = !fail;
+
+  int64_t audio_pts = 0;      // samples encoded so far
+  bool audio_eof = false;
+
+  // audio encode helpers ----------------------------------------------------
+  auto emit_audio = [&](int nb) -> bool {
+    frame->nb_samples = nb;
+    av_channel_layout_copy(&frame->ch_layout, &enc->ch_layout);
+    frame->format = enc->sample_fmt;
+    frame->sample_rate = enc->sample_rate;
+    if (av_frame_get_buffer(frame, 0) < 0)
+      return false;
+    if (av_audio_fifo_read(fifo, (void **)frame->data, nb) < nb) {
+      av_frame_unref(frame);
+      return false;
+    }
+    frame->pts = audio_pts;
+    audio_pts += nb;
+    int r = avcodec_send_frame(enc, frame);
+    av_frame_unref(frame);
+    if (r < 0)
+      return false;
+    for (;;) {
+      r = avcodec_receive_packet(enc, pkt);
+      if (r == AVERROR(EAGAIN) || r == AVERROR_EOF)
+        return true;
+      if (r < 0)
+        return false;
+      pkt->stream_index = out_audio->index;
+      av_packet_rescale_ts(pkt, enc->time_base, out_audio->time_base);
+      if (av_interleaved_write_frame(out_fmt, pkt) < 0)
+        return false;
+      av_packet_unref(pkt);
+    }
+  };
+  auto pump_audio = [&]() -> bool {
+    // refill the fifo from the wav decoder and encode available frames
+    while (!audio_eof && av_audio_fifo_size(fifo) < frame_size) {
+      std::vector<float> buf((size_t)frame_size * wav->channels);
+      long got = ffs_read(wav, buf.data(), frame_size);
+      if (got < 0)
+        return false;
+      if (got == 0) {
+        audio_eof = true;
+        break;
+      }
+      int64_t cap = av_rescale_rnd(swr_get_delay(swr, wav->rate) + got,
+                                   enc->sample_rate, wav->rate,
+                                   AV_ROUND_UP) + 64;
+      uint8_t **conv = nullptr;
+      int linesize = 0;
+      if (av_samples_alloc_array_and_samples(&conv, &linesize,
+                                             wav->channels, (int)cap,
+                                             enc->sample_fmt, 0) < 0)
+        return false;
+      const uint8_t *inp = (const uint8_t *)buf.data();
+      int cgot = swr_convert(swr, conv, (int)cap, &inp, (int)got);
+      bool ok = cgot >= 0 &&
+                (cgot == 0 ||
+                 av_audio_fifo_write(fifo, (void **)conv, cgot) == cgot);
+      av_freep(&conv[0]);
+      av_freep(&conv);
+      if (!ok)
+        return false;
+    }
+    while (av_audio_fifo_size(fifo) >= frame_size)
+      if (!emit_audio(frame_size))
+        return false;
+    return true;
+  };
+
+  // copy passthrough packets; audio is pumped independently (the muxer's
+  // interleaving queue orders packets by dts)
+  if (!fail) {
+    AVPacket *in_pkt = av_packet_alloc();
+    int64_t copied_seconds = 0;
+    while (av_read_frame(in_fmt, in_pkt) >= 0) {
+      int oi = in_pkt->stream_index < (int)out_index.size()
+                   ? out_index[in_pkt->stream_index]
+                   : -1;
+      if (oi < 0) {
+        av_packet_unref(in_pkt);
+        continue;
+      }
+      AVStream *ist = in_fmt->streams[in_pkt->stream_index];
+      AVStream *ost = out_fmt->streams[oi];
+      av_packet_rescale_ts(in_pkt, ist->time_base, ost->time_base);
+      in_pkt->stream_index = oi;
+      int64_t pkt_sec = in_pkt->dts != AV_NOPTS_VALUE
+                            ? av_rescale_q(in_pkt->dts, ost->time_base,
+                                           AVRational{1, 1})
+                            : copied_seconds;
+      if (av_interleaved_write_frame(out_fmt, in_pkt) < 0) {
+        fail = true;
+        break;
+      }
+      av_packet_unref(in_pkt);
+      // keep audio roughly in step with the copied timeline
+      while (!audio_eof &&
+             audio_pts < (pkt_sec + 2) * (int64_t)enc->sample_rate) {
+        if (!pump_audio()) {
+          fail = true;
+          break;
+        }
+        if (av_audio_fifo_size(fifo) == 0 && audio_eof)
+          break;
+      }
+      copied_seconds = pkt_sec;
+      if (fail)
+        break;
+    }
+    av_packet_free(&in_pkt);
+  }
+
+  // drain remaining audio + encoder
+  if (!fail) {
+    while (!audio_eof)
+      if (!pump_audio()) {
+        fail = true;
+        break;
+      }
+  }
+  if (!fail) {
+    // flush resampler tail and final short frame
+    int64_t cap = 4096;
+    uint8_t **conv = nullptr;
+    int linesize = 0;
+    if (av_samples_alloc_array_and_samples(&conv, &linesize, wav->channels,
+                                           (int)cap, enc->sample_fmt,
+                                           0) >= 0) {
+      int cgot = swr_convert(swr, conv, (int)cap, nullptr, 0);
+      if (cgot > 0)
+        av_audio_fifo_write(fifo, (void **)conv, cgot);
+      av_freep(&conv[0]);
+      av_freep(&conv);
+    }
+    while (av_audio_fifo_size(fifo) > 0) {
+      int nb = av_audio_fifo_size(fifo);
+      if (nb > frame_size)
+        nb = frame_size;
+      if (!emit_audio(nb)) {
+        fail = true;
+        break;
+      }
+    }
+  }
+  if (!fail) {
+    avcodec_send_frame(enc, nullptr);
+    for (;;) {
+      int r = avcodec_receive_packet(enc, pkt);
+      if (r == AVERROR(EAGAIN) || r == AVERROR_EOF)
+        break;
+      if (r < 0) {
+        fail = true;
+        break;
+      }
+      pkt->stream_index = out_audio->index;
+      av_packet_rescale_ts(pkt, enc->time_base, out_audio->time_base);
+      if (av_interleaved_write_frame(out_fmt, pkt) < 0) {
+        fail = true;
+        break;
+      }
+      av_packet_unref(pkt);
+    }
+  }
+  if (header_ok && av_write_trailer(out_fmt) < 0)
+    fail = true;
+
+  if (fail)
+    set_err(err, errlen, "remux failed");
+  av_frame_free(&frame);
+  av_packet_free(&pkt);
+  av_audio_fifo_free(fifo);
+  swr_free(&swr);
+  avcodec_free_context(&enc);
+  if (out_fmt->pb && !(out_fmt->oformat->flags & AVFMT_NOFILE))
+    avio_closep(&out_fmt->pb);
+  avformat_free_context(out_fmt);
+  ffs_close(wav);
+  avformat_close_input(&in_fmt);
+  return fail ? -1 : 0;
+}
+
+// synthetic mpeg4+aac test clip (fixture generator for the videowmark
+// tests; this image has no video files and no ffmpeg CLI)
+int ffv_make_test_video(const char *path, double seconds, int rate,
+                        int channels, char *err, int errlen) {
+  AVFormatContext *ofmt = nullptr;
+  int rc = avformat_alloc_output_context2(&ofmt, nullptr, nullptr, path);
+  if (rc < 0 || !ofmt) {
+    set_err(err, errlen, "output alloc failed", rc);
+    return -1;
+  }
+  const AVCodec *vcodec = avcodec_find_encoder(AV_CODEC_ID_MPEG4);
+  const AVCodec *acodec = avcodec_find_encoder_by_name("aac");
+  if (!vcodec || !acodec) {
+    set_err(err, errlen, "mpeg4/aac encoders unavailable");
+    avformat_free_context(ofmt);
+    return -1;
+  }
+  const int W = 64, H = 64, FPS = 25;
+  AVCodecContext *venc = avcodec_alloc_context3(vcodec);
+  venc->width = W;
+  venc->height = H;
+  venc->pix_fmt = AV_PIX_FMT_YUV420P;
+  venc->time_base = AVRational{1, FPS};
+  venc->bit_rate = 100000;
+  if (ofmt->oformat->flags & AVFMT_GLOBALHEADER)
+    venc->flags |= AV_CODEC_FLAG_GLOBAL_HEADER;
+  AVCodecContext *aenc = avcodec_alloc_context3(acodec);
+  aenc->sample_rate = rate;
+  av_channel_layout_default(&aenc->ch_layout, channels);
+  aenc->sample_fmt = AV_SAMPLE_FMT_FLTP;
+  aenc->bit_rate = 128000;
+  aenc->time_base = AVRational{1, rate};
+  if (ofmt->oformat->flags & AVFMT_GLOBALHEADER)
+    aenc->flags |= AV_CODEC_FLAG_GLOBAL_HEADER;
+  if (avcodec_open2(venc, vcodec, nullptr) < 0 ||
+      avcodec_open2(aenc, acodec, nullptr) < 0) {
+    set_err(err, errlen, "encoder open failed");
+    avcodec_free_context(&venc);
+    avcodec_free_context(&aenc);
+    avformat_free_context(ofmt);
+    return -1;
+  }
+  AVStream *vst = avformat_new_stream(ofmt, nullptr);
+  avcodec_parameters_from_context(vst->codecpar, venc);
+  vst->time_base = venc->time_base;
+  AVStream *ast = avformat_new_stream(ofmt, nullptr);
+  avcodec_parameters_from_context(ast->codecpar, aenc);
+  ast->time_base = aenc->time_base;
+
+  bool fail = false;
+  if (!(ofmt->oformat->flags & AVFMT_NOFILE))
+    fail = avio_open(&ofmt->pb, path, AVIO_FLAG_WRITE) < 0;
+  if (!fail)
+    fail = avformat_write_header(ofmt, nullptr) < 0;
+
+  AVPacket *pkt = av_packet_alloc();
+  auto drain = [&](AVCodecContext *enc, AVStream *st,
+                   AVRational tb) -> bool {
+    for (;;) {
+      int r = avcodec_receive_packet(enc, pkt);
+      if (r == AVERROR(EAGAIN) || r == AVERROR_EOF)
+        return true;
+      if (r < 0)
+        return false;
+      pkt->stream_index = st->index;
+      av_packet_rescale_ts(pkt, tb, st->time_base);
+      if (av_interleaved_write_frame(ofmt, pkt) < 0)
+        return false;
+      av_packet_unref(pkt);
+    }
+  };
+
+  int n_vframes = (int)(seconds * FPS);
+  AVFrame *vf = av_frame_alloc();
+  vf->format = AV_PIX_FMT_YUV420P;
+  vf->width = W;
+  vf->height = H;
+  av_frame_get_buffer(vf, 0);
+  for (int i = 0; i < n_vframes && !fail; i++) {
+    av_frame_make_writable(vf);
+    for (int y = 0; y < H; y++)
+      for (int x = 0; x < W; x++)
+        vf->data[0][y * vf->linesize[0] + x] =
+            (uint8_t)((x + y + i * 4) & 0xff);
+    memset(vf->data[1], 128, (size_t)vf->linesize[1] * H / 2);
+    memset(vf->data[2], 128, (size_t)vf->linesize[2] * H / 2);
+    vf->pts = i;
+    fail = avcodec_send_frame(venc, vf) < 0 ||
+           !drain(venc, vst, venc->time_base);
+  }
+  if (!fail) {
+    avcodec_send_frame(venc, nullptr);
+    fail = !drain(venc, vst, venc->time_base);
+  }
+  av_frame_free(&vf);
+
+  // sine-sweep audio so the clip has real content to watermark
+  int64_t n_aframes = (int64_t)(seconds * rate);
+  int fs = aenc->frame_size > 0 ? aenc->frame_size : 1024;
+  AVFrame *af = av_frame_alloc();
+  int64_t pos = 0;
+  double phase = 0.0;
+  while (pos < n_aframes && !fail) {
+    int nb = (int)(n_aframes - pos < fs ? n_aframes - pos : fs);
+    af->nb_samples = nb;
+    av_channel_layout_copy(&af->ch_layout, &aenc->ch_layout);
+    af->format = AV_SAMPLE_FMT_FLTP;
+    af->sample_rate = rate;
+    av_frame_get_buffer(af, 0);
+    for (int i = 0; i < nb; i++) {
+      double t = (double)(pos + i) / rate;
+      float v = (float)(0.25 * sin(phase + 2 * M_PI * (220 + 40 * t) * t));
+      for (int c = 0; c < channels; c++)
+        ((float *)af->data[c])[i] = v;
+    }
+    af->pts = pos;
+    pos += nb;
+    fail = avcodec_send_frame(aenc, af) < 0 ||
+           !drain(aenc, ast, aenc->time_base);
+    av_frame_unref(af);
+  }
+  if (!fail) {
+    avcodec_send_frame(aenc, nullptr);
+    fail = !drain(aenc, ast, aenc->time_base);
+  }
+  av_frame_free(&af);
+
+  if (!fail)
+    fail = av_write_trailer(ofmt) < 0;
+  if (fail)
+    set_err(err, errlen, "test video generation failed");
+  av_packet_free(&pkt);
+  avcodec_free_context(&venc);
+  avcodec_free_context(&aenc);
+  if (ofmt->pb && !(ofmt->oformat->flags & AVFMT_NOFILE))
+    avio_closep(&ofmt->pb);
+  avformat_free_context(ofmt);
+  return fail ? -1 : 0;
+}
+
 }  // extern "C"
