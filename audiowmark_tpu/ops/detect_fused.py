@@ -35,7 +35,7 @@ from ..crypto.keys import Key
 from ..params import Params
 from ..tables import get_key_tables
 from . import sync as sync_ops
-from .frames import FRAME, MIN_DB, _LOG2_DB, analysis_window
+from .frames import FRAME, MIN_DB, _LOG2_DB
 from .sync import _SPAN, _SUB, _dft_matrix
 
 N_REFINE = sync_ops.N_REFINE
@@ -62,7 +62,6 @@ def build_detector(key: Key, cfg: DetectorConfig) -> Callable:
     frames_per_block = tables.frames_per_block
     n_samples = T * FRAME
 
-    awin = jnp.asarray(analysis_window())
     V = jnp.asarray(sync_bits.v)
     offsets_np = (sync_ops.SHIFTS
                   * sync_bits.frame.reshape(-1)).astype(np.int32)
@@ -104,13 +103,14 @@ def build_detector(key: Key, cfg: DetectorConfig) -> Callable:
         xc = xc.reshape(-1, sync_ops.HOP, C)
         windows = jnp.concatenate(
             [xc[k:k + n_taus] for k in range(sync_ops.SHIFTS)], axis=1)
-        spec = jnp.fft.rfft(jnp.swapaxes(windows, 1, 2) * awin[None, None, :],
-                            axis=-1)
-        spec = spec[..., Params.min_band:Params.max_band + 1]
-        abs2 = jnp.real(spec) ** 2 + jnp.imag(spec) ** 2
+        # band-restricted DFT matmul (window folded into dftm): one MXU op
+        # per tile instead of a 513-bin rfft, fused with the band-sum below
+        flat = jnp.swapaxes(windows, 1, 2).reshape(n_taus * C, FRAME)
+        spec = jnp.dot(flat, dftm, preferred_element_type=jnp.float32)
+        abs2 = spec[:, :n_bands] ** 2 + spec[:, n_bands:] ** 2
         db = jnp.where(abs2 > 0, jnp.log2(abs2) * jnp.float32(_LOG2_DB),
                        jnp.float32(MIN_DB))
-        S = jnp.sum(db, axis=1)                          # (taus, bands)
+        S = jnp.sum(db.reshape(n_taus, C, n_bands), axis=1)  # (taus, bands)
 
         # ---- score sweep: static slices of the band-sum matrix ----
         Dt = jnp.dot(V, S.T, preferred_element_type=jnp.float32)
@@ -182,10 +182,11 @@ def build_detector(key: Key, cfg: DetectorConfig) -> Callable:
             # block decode at the refined start (src/wmget.cc:503-553)
             w = jax.lax.dynamic_slice_in_dim(
                 x, best_pos, frames_per_block * FRAME)
-            w = jnp.swapaxes(w.reshape(frames_per_block, FRAME, C), 1, 2)
-            bspec = jnp.fft.rfft(w * awin[None, None, :], axis=-1)
-            bspec = bspec[:, :, Params.min_band:Params.max_band + 1]
-            ba2 = jnp.real(bspec) ** 2 + jnp.imag(bspec) ** 2
+            wf = jnp.swapaxes(w.reshape(frames_per_block, FRAME, C), 1, 2)
+            bspec = jnp.dot(wf.reshape(frames_per_block * C, FRAME), dftm,
+                            preferred_element_type=jnp.float32)
+            ba2 = bspec[:, :n_bands] ** 2 + bspec[:, n_bands:] ** 2
+            ba2 = ba2.reshape(frames_per_block, C, n_bands)
             bdb = jnp.where(ba2 > 0, jnp.log2(ba2) * jnp.float32(_LOG2_DB),
                             jnp.float32(MIN_DB))
             nf = frames_per_block

@@ -144,6 +144,7 @@ class Params:
         cls.get_n_best = 8
         cls.payload_size = 128
         cls.payload_short = False
+        cls.sync_frames_per_bit = 85
         cls.test_cut = 0
         cls.test_no_sync = False
         cls.test_no_limiter = False

@@ -98,15 +98,19 @@ def build_pipeline():
     n_samples = T * FRAME
     n_bands = sync_ops.N_BANDS
 
+    dftm_bands = jnp.asarray(_dft_matrix())   # windowed, band-restricted
+
     def db_rows(wins):
-        """(P, FRAME, C) windows -> (P, n_bands) dB summed over channels."""
-        spec = jnp.fft.rfft(jnp.swapaxes(wins, 1, 2) * awin[None, None, :],
-                            axis=-1)
-        spec = spec[..., Params.min_band:Params.max_band + 1]
-        abs2 = jnp.real(spec) ** 2 + jnp.imag(spec) ** 2
+        """(P, FRAME, C) windows -> (P, n_bands) dB summed over channels.
+        Band-restricted DFT matmul (window folded into the matrix) — one
+        MXU op instead of a 513-bin rfft."""
+        P, _, C = wins.shape
+        flat = jnp.swapaxes(wins, 1, 2).reshape(P * C, FRAME)
+        spec = jnp.dot(flat, dftm_bands, preferred_element_type=jnp.float32)
+        abs2 = spec[:, :n_bands] ** 2 + spec[:, n_bands:] ** 2
         db = jnp.where(abs2 > 0, jnp.log2(abs2) * jnp.float32(_LOG2_DB),
                        jnp.float32(MIN_DB))
-        return jnp.sum(db, axis=1)
+        return jnp.sum(db.reshape(P, C, n_bands), axis=1)
 
     def bit_quality(u, d):
         """(.., 6) up/down magnitude sums -> mean sign-matched quality."""
@@ -233,11 +237,12 @@ def build_pipeline():
             # block decode: 2226 consecutive frames at the refined start
             w = jax.lax.dynamic_slice_in_dim(
                 limited, best_pos, frames_per_block * FRAME)
-            w = jnp.swapaxes(w.reshape(frames_per_block, FRAME, N_CHANNELS),
-                             1, 2)
-            bspec = jnp.fft.rfft(w * awin[None, None, :], axis=-1)
-            bspec = bspec[:, :, Params.min_band:Params.max_band + 1]
-            ab2 = jnp.real(bspec) ** 2 + jnp.imag(bspec) ** 2
+            wf = jnp.swapaxes(
+                w.reshape(frames_per_block, FRAME, N_CHANNELS), 1, 2)
+            bspec = jnp.dot(wf.reshape(frames_per_block * N_CHANNELS, FRAME),
+                            dftm_bands, preferred_element_type=jnp.float32)
+            ab2 = bspec[:, :n_bands] ** 2 + bspec[:, n_bands:] ** 2
+            ab2 = ab2.reshape(frames_per_block, N_CHANNELS, n_bands)
             bdb = jnp.where(ab2 > 0, jnp.log2(ab2) * jnp.float32(_LOG2_DB),
                             jnp.float32(MIN_DB))             # (F, C, bands)
             # background subtraction: minus avg of prev/next frame's bins

@@ -28,11 +28,15 @@ PAYLOAD = "abc"
 
 @pytest.fixture()
 def mini_geometry():
+    saved = (Params.payload_short, Params.payload_size,
+             Params.sync_frames_per_bit)
     Params.payload_short = 12
     Params.payload_size = 12
     Params.sync_frames_per_bit = 10
     tables_mod.clear_cache()
     yield
+    (Params.payload_short, Params.payload_size,
+     Params.sync_frames_per_bit) = saved
     tables_mod.clear_cache()
 
 

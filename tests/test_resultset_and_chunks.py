@@ -96,6 +96,9 @@ def test_chunk_loader_truncate(tmp_path):
     Params.reset()
     assert main(["test-gen-noise", noise, "10", "44100"]) == 0
     Params.test_truncate = 4
-    loader = WavChunkLoader(noise)
-    loader.load_next_chunk()
-    assert loader.wav_data().n_frames == 4 * 44100
+    try:
+        loader = WavChunkLoader(noise)
+        loader.load_next_chunk()
+        assert loader.wav_data().n_frames == 4 * 44100
+    finally:
+        Params.test_truncate = 0
