@@ -17,7 +17,7 @@ exact int64 so offsets match the reference's rounding bit-for-bit.
 from __future__ import annotations
 
 from dataclasses import dataclass
-from functools import lru_cache
+from functools import lru_cache, partial
 from typing import List, Tuple
 
 import numpy as np
@@ -77,12 +77,32 @@ def build_speed_sync_bits(tables: KeyTables) -> SpeedSyncBits:
                          frames_per_block=tables.frames_per_block)
 
 
-@jax.jit
-def _mag_matrix_core(windows: jnp.ndarray, win: jnp.ndarray, v: jnp.ndarray):
+@lru_cache(maxsize=None)
+def _sub_dft_matrix() -> np.ndarray:
+    """Windowed real DFT onto bands [min_band, max_band] of the 512-point
+    frame: (SUB_FRAME, 2*N_BANDS) [cos | sin] columns (same MXU trick as
+    ops/sync._dft_matrix — one matmul instead of a 257-bin rfft)."""
+    b = np.arange(Params.min_band, Params.max_band + 1)
+    j = np.arange(SUB_FRAME)
+    ang = -2.0 * np.pi * np.outer(j, b) / SUB_FRAME
+    m = np.concatenate([np.cos(ang), np.sin(ang)], axis=1)
+    return (m * _sub_window()[:, None].astype(np.float64)).astype(np.float32)
+
+
+@partial(jax.jit, static_argnames=("use_dft",))
+def _mag_matrix_core(windows: jnp.ndarray, win: jnp.ndarray,
+                     dftm: jnp.ndarray, v: jnp.ndarray, use_dft: bool):
     """(rows, C, SUB_FRAME) -> (rows, 2*J) up/down band sums."""
-    spec = jnp.fft.rfft(windows * win[None, None, :], axis=-1)
-    spec = spec[:, :, Params.min_band:Params.max_band + 1]
-    abs2 = jnp.real(spec) ** 2 + jnp.imag(spec) ** 2
+    if use_dft:
+        rows, C, _ = windows.shape
+        spec = jnp.dot(windows.reshape(rows * C, SUB_FRAME), dftm,
+                       preferred_element_type=jnp.float32)
+        abs2 = (spec[:, :N_BANDS] ** 2
+                + spec[:, N_BANDS:] ** 2).reshape(rows, C, N_BANDS)
+    else:
+        spec = jnp.fft.rfft(windows * win[None, None, :], axis=-1)
+        spec = spec[:, :, Params.min_band:Params.max_band + 1]
+        abs2 = jnp.real(spec) ** 2 + jnp.imag(spec) ** 2
     db = jnp.where(abs2 > 0, jnp.log2(abs2) * jnp.float32(_LOG2_DB),
                    jnp.float32(-96.0))
     S = jnp.sum(db, axis=1)
@@ -117,7 +137,8 @@ def prepare_mag_matrix(clip_samples: np.ndarray, n_channels: int,
              np.zeros((bucket - rows,) + windows.shape[1:], np.float32)])
     out = np.asarray(_mag_matrix_core(
         jnp.asarray(windows), jnp.asarray(_sub_window()),
-        jnp.asarray(sync_bits.v)))
+        jnp.asarray(_sub_dft_matrix()), jnp.asarray(sync_bits.v),
+        jax.default_backend() == "tpu"))
     return out[:rows]
 
 

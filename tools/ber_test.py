@@ -18,7 +18,6 @@ libmp3lame, libvorbisenc, and the libav shim for opus/aac.
 import argparse
 import os
 import shutil
-import subprocess
 import sys
 import tempfile
 
