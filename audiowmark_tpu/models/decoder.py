@@ -28,26 +28,34 @@ from ..crypto.keys import Key
 from ..ops.frames import FRAME, MIN_DB, _LOG2_DB, analysis_window
 from ..params import Params
 from ..tables import KeyTables, get_key_tables, randomize_bit_order
-from ..utils.devcache import device_array
+from ..utils.devcache import device_audio, register_padded
 from . import syncfinder
 from .resultset import PatternType, ResultSet
 from .syncfinder import SyncMode
 
 
-@partial(jax.jit, static_argnames=("count", "use_dft"))
-def _block_db_batch_dev(x: jnp.ndarray, indices: jnp.ndarray,
-                        awin: jnp.ndarray, dftm: jnp.ndarray, count: int,
-                        use_dft: bool) -> jnp.ndarray:
-    """Per-candidate block dB spectrograms, fully on device.
+@partial(jax.jit, static_argnames=("count", "use_dft", "mix", "group",
+                                   "fpb"))
+def _block_raw_batch_dev(x: jnp.ndarray, indices: jnp.ndarray,
+                         awin: jnp.ndarray, dftm: jnp.ndarray,
+                         lay_frame: jnp.ndarray, lay_up: jnp.ndarray,
+                         lay_dn: jnp.ndarray, count: int, use_dft: bool,
+                         mix: bool, group: int, fpb: int) -> jnp.ndarray:
+    """Per-candidate raw soft bits, fully on device: block dB spectrogram
+    (reference fft_range, src/wmcommon.cc:123-141) -> prev/next background
+    subtraction + channel sum -> keyed up/down band gathers -> per-bit sums
+    (mix_decode/linear_decode, src/wmget.cc:67-152).
 
-    A block's `count` analysis frames are CONSECUTIVE 1024-sample windows
-    (reference fft_range, src/wmcommon.cc:123-141), so each candidate is one
-    dynamic slice + reshape — no gather.  lax.map keeps the per-candidate
-    (count, FRAME, C) intermediate from materializing K times at once.
+    Only the (K, n_coded) soft-bit matrix leaves the device — the dB tensor
+    is K x count x C x 81 floats (tens of MB) and the host link may be
+    bandwidth-bound (remote-TPU tunnel: ~14 MB/s down).
     On TPU the 81 bands come from one MXU matmul against the windowed
     band-restricted DFT matrix (~4x faster than a 513-bin rfft).
 
-    x: (n, C); indices: (K,) int32 -> (K, count, C, N_BANDS) dB
+    x: (n, C); indices: (K,) int32.
+    mix mode:    lay_frame/lay_up/lay_dn are (n_data*30,) mix entries.
+    linear mode: lay_frame is (n_data_frames,), lay_up/lay_dn are
+                 (n_data_frames, 30) band tables.
     """
     n_bands = Params.max_band - Params.min_band + 1
 
@@ -61,22 +69,38 @@ def _block_db_batch_dev(x: jnp.ndarray, indices: jnp.ndarray,
             abs2 = spec[:, :n_bands] ** 2 + spec[:, n_bands:] ** 2
             abs2 = abs2.reshape(count, C, n_bands)
         else:
-            w = jnp.swapaxes(w.reshape(count, FRAME, C), 1, 2)
-            spec = jnp.fft.rfft(w * awin[None, None, :], axis=-1)
+            wf = jnp.swapaxes(w.reshape(count, FRAME, C), 1, 2)
+            spec = jnp.fft.rfft(wf * awin[None, None, :], axis=-1)
             spec = spec[:, :, Params.min_band:Params.max_band + 1]
             abs2 = jnp.real(spec) ** 2 + jnp.imag(spec) ** 2
-        return jnp.where(abs2 > 0, jnp.log2(abs2) * jnp.float32(_LOG2_DB),
-                         jnp.float32(MIN_DB))
+        db = jnp.where(abs2 > 0, jnp.log2(abs2) * jnp.float32(_LOG2_DB),
+                       jnp.float32(MIN_DB))
+        # background subtraction with edge reflection
+        # (src/wmget.cc:86-97) + channel sum
+        nxt = jnp.concatenate([jnp.arange(1, count),
+                               jnp.array([count - 2])])
+        prv = jnp.concatenate([jnp.array([1]), jnp.arange(count - 1)])
+        A = jnp.sum(db - 0.5 * (db[prv] + db[nxt]), axis=1)
+        if mix:
+            u = A[lay_frame, lay_up]
+            d = A[lay_frame, lay_dn]
+            raw = jnp.sum((u - d).reshape(-1, group), axis=1)
+        else:
+            u = jnp.sum(A[lay_frame[:, None], lay_up], axis=1)
+            d = jnp.sum(A[lay_frame[:, None], lay_dn], axis=1)
+            raw = jnp.sum((u - d).reshape(-1, fpb), axis=1)
+        return raw
 
     return jax.lax.map(one, indices)
 
 
-def _block_db_batch(samples: np.ndarray, n_channels: int,
-                    indices: List[int], frame_count: int) -> dict:
-    """dB spectrograms (frame_count, C, N_BANDS) for each candidate start
-    index; candidates reading past the end are dropped (reference skips
-    them).  Returns {index: db}.  K is bucketed to a power of two so XLA
-    compiles once per (frame_count, bucket)."""
+def _block_raw_batch(samples: np.ndarray, n_channels: int,
+                     indices: List[int], tables: KeyTables) -> dict:
+    """Raw (pre-interleave) soft bits for each candidate start index;
+    candidates reading past the end are dropped (reference skips them).
+    Returns {index: raw (n_coded,)}.  K is bucketed to a power of two so
+    XLA compiles once per (frame_count, bucket)."""
+    frame_count = tables.frames_per_block
     n_sample_frames = samples.size // n_channels
     valid = [i for i in dict.fromkeys(indices)
              if i + frame_count * FRAME <= n_sample_frames]
@@ -87,13 +111,26 @@ def _block_db_batch(samples: np.ndarray, n_channels: int,
         K *= 2
     idx = np.zeros(K, dtype=np.int32)
     idx[: len(valid)] = valid
-    x_dev = device_array(samples).reshape(-1, n_channels)
+    x_dev = device_audio(samples).reshape(-1, n_channels)
     from ..ops.sync import _dft_matrix
-    dbs = np.asarray(_block_db_batch_dev(
+    if Params.mix:
+        lay_frame = tables.mix_frame.astype(np.int32)
+        lay_up = (tables.mix_up - Params.min_band).astype(np.int32)
+        lay_dn = (tables.mix_dn - Params.min_band).astype(np.int32)
+        group = Params.bands_per_frame * Params.frames_per_bit
+    else:
+        f = np.arange(tables.n_data_frames)
+        lay_frame = tables.data_frame(f).astype(np.int32)
+        lay_up = (tables.data_up - Params.min_band).astype(np.int32)
+        lay_dn = (tables.data_dn - Params.min_band).astype(np.int32)
+        group = 0
+    raws = np.asarray(_block_raw_batch_dev(
         x_dev, jnp.asarray(idx), jnp.asarray(analysis_window()),
-        jnp.asarray(_dft_matrix()), frame_count,
-        jax.default_backend() == "tpu"))
-    return {i: dbs[k] for k, i in enumerate(valid)}
+        jnp.asarray(_dft_matrix()), jnp.asarray(lay_frame),
+        jnp.asarray(lay_up), jnp.asarray(lay_dn), frame_count,
+        jax.default_backend() == "tpu", bool(Params.mix), group,
+        Params.frames_per_bit))
+    return {i: raws[k].astype(np.float32) for k, i in enumerate(valid)}
 
 
 def _background_subtract(db: np.ndarray) -> np.ndarray:
@@ -108,7 +145,10 @@ def _background_subtract(db: np.ndarray) -> np.ndarray:
 
 
 def mix_or_linear_decode(tables: KeyTables, db: np.ndarray) -> np.ndarray:
-    """Soft bits from a block dB spectrogram (frames, C, bands)."""
+    """Soft bits from a block dB spectrogram (frames, C, bands).
+
+    Host oracle for _block_raw_batch_dev (tests/test_dft_paths.py locks the
+    equivalence); the production path extracts soft bits on device."""
     A = _background_subtract(db).sum(axis=1)      # sum over channels
     bpf = Params.bands_per_frame
     if Params.mix:
@@ -190,14 +230,13 @@ class BlockDecoder:
             count = tables.frames_per_block
             pattern_raw: List[_PatternRawBits] = []
 
-            db_map = _block_db_batch(
+            raw_map = _block_raw_batch(
                 samples, n_channels,
-                [ss.index for ss in key_result.sync_scores], count)
+                [ss.index for ss in key_result.sync_scores], tables)
             for sync_score in key_result.sync_scores:
-                db = db_map.get(sync_score.index)
-                if db is None:
+                raw_bits = raw_map.get(sync_score.index)
+                if raw_bits is None:
                     continue
-                raw_bits = mix_or_linear_decode(tables, db)
                 raw_bits = randomize_bit_order(tables, raw_bits, encode=False)
                 pattern_raw.append(_PatternRawBits(
                     sync_score.index, sync_score.quality, raw_bits,
@@ -352,20 +391,18 @@ class ClipDecoder:
             key = key_result.key
             tables = get_key_tables(key)
             count = tables.frames_per_block
-            db_map = _block_db_batch(
+            raw_map = _block_raw_batch(
                 samples, n_channels,
                 [i for ss in key_result.sync_scores
-                 for i in (ss.index, ss.index + count * FRAME)], count)
+                 for i in (ss.index, ss.index + count * FRAME)], tables)
             for sync_score in key_result.sync_scores:
                 index = sync_score.index
-                db1 = db_map.get(index)
-                db2 = db_map.get(index + count * FRAME)
-                if db1 is None or db2 is None:
+                r1 = raw_map.get(index)
+                r2 = raw_map.get(index + count * FRAME)
+                if r1 is None or r2 is None:
                     continue
-                raw1 = randomize_bit_order(
-                    tables, mix_or_linear_decode(tables, db1), encode=False)
-                raw2 = randomize_bit_order(
-                    tables, mix_or_linear_decode(tables, db2), encode=False)
+                raw1 = randomize_bit_order(tables, r1, encode=False)
+                raw2 = randomize_bit_order(tables, r2, encode=False)
                 raw = np.empty(raw1.size * 2, dtype=np.float32)
                 if sync_score.block_type == ConvBlockType.a:
                     raw[0::2], raw[1::2] = raw1, raw2
@@ -400,6 +437,10 @@ class ClipDecoder:
             np.zeros(pad_start, dtype=np.float32),
             wav_data.samples[first_sample:last_sample],
             np.zeros(pad_end, dtype=np.float32)])
+        # the device copy is assembled from the chunk's cached upload —
+        # these ~2-block windows would otherwise re-cross the host link
+        register_padded(ext, wav_data.samples, first_sample, last_sample,
+                        pad_start, pad_end)
         l_wav = wav_data.with_samples(ext)
         self._run_padded(key_list, l_wav, result_set, time_offset)
 

@@ -51,6 +51,12 @@ class StreamingEmbedder:
         self.frame_number = 2 * self.frames_per_block - Params.frames_pad_start
         self.m_data_blocks = 0
         self.water_delta = Params.water_delta
+        # optional budget of generator frames to count data blocks over:
+        # the reference feeds pad frames one at a time only until output
+        # catches up (src/wmadd.cc:520-546), while our tiles zero-pad far
+        # past that — without a cap the printed count can overshoot
+        self.count_cap = None
+        self._fed = 0
 
         self.prev1 = None
         self.prev2 = None
@@ -77,9 +83,12 @@ class StreamingEmbedder:
         mods = self.mods_ab[phases]
         out, self.prev1, self.prev2 = embed_delta_frames(
             frames, mods, self.water_delta, self.prev1, self.prev2)
-        self.m_data_blocks += int(np.sum(
-            (self.frame_number + np.arange(n_frames) + 1)
-            % self.frames_per_block == 0))
+        t = np.arange(n_frames)
+        hit = (self.frame_number + t + 1) % self.frames_per_block == 0
+        if self.count_cap is not None:
+            hit &= (self._fed + t) < self.count_cap
+        self.m_data_blocks += int(np.sum(hit))
+        self._fed += n_frames
         self.frame_number += n_frames
         out = np.asarray(out).transpose(0, 2, 1).reshape(-1)
         if self.first_frame:
@@ -127,6 +136,104 @@ class StreamingEmbedder:
 
     def data_blocks(self) -> int:
         return max(self.m_data_blocks - 1, 0)
+
+
+def _ref_gen_frame_count(n_in_frames: int, no_limiter: bool,
+                         block_size: int) -> int:
+    """Frames the reference feeds WatermarkGen before its write loop breaks
+    (src/wmadd.cc:520-588: 1024-frame reads, zero-pad until output catches
+    up through the 1-frame synth latency and the limiter's 1-block hold).
+    Data-block counting stops exactly here."""
+    total_in = 0
+    total_out = 0
+    k = 0
+    while True:
+        got = min(FRAME, n_in_frames - total_in)
+        total_in += got
+        if got < FRAME and total_in == total_out:
+            break
+        k += 1
+        synth_frames = max(k - 1, 0)
+        if no_limiter:
+            emitted = synth_frames * FRAME
+        else:
+            blocks = (synth_frames * FRAME) // block_size
+            emitted = max(blocks - 1, 0) * block_size
+        total_out = min(emitted, total_in)
+    return k
+
+
+# files longer than this fall back to the streaming tile path (the fused
+# whole-file dispatch materializes the full spectrogram on device)
+_FAST_PATH_MAX_FRAMES = 32768          # ~12.7 min at 44.1 kHz
+
+
+def _add_file_fast(embedder: StreamingEmbedder,
+                   in_stream: AudioInputStream,
+                   out_stream: AudioOutputStream, n_channels: int):
+    """Whole-file add in one device dispatch with int16 transfers where the
+    sample grid allows (see ops/frames._add_file_core).  Returns the number
+    of frames written."""
+    from ..ops.frames import _add_file_core, analysis_window, \
+        synthesis_window
+    import jax
+    import jax.numpy as jnp
+
+    chunks = []
+    while True:
+        block = in_stream.read_frames(65536)
+        if block.size == 0:
+            break
+        chunks.append(block)
+    samples = (np.concatenate(chunks) if chunks
+               else np.zeros(0, dtype=np.float32))
+    n_frames_in = samples.size // n_channels
+    n_out = n_frames_in * n_channels
+
+    G = max(-(-n_frames_in // FRAME), 1)
+    padded = np.zeros(G * FRAME * n_channels, dtype=np.float32)
+    padded[:samples.size] = samples
+
+    # int16 upload when every sample sits exactly on the 16-bit grid
+    # (16-bit PCM / FLAC / 8-bit sources); halves host->device bytes
+    i16 = np.round(padded * 32768.0)
+    in_i16 = bool(np.all(np.abs(i16) <= 32767)
+                  and np.array_equal(i16.astype(np.float32) / 32768.0,
+                                     padded))
+    x = i16.astype(np.int16) if in_i16 else padded
+
+    writer = getattr(out_stream, "writer", None)
+    out_i16 = bool(writer is not None and writer.bit_depth == 16
+                   and writer.encoding == Encoding.SIGNED)
+
+    phases = (embedder.frame_number + np.arange(G)) \
+        % (2 * embedder.frames_per_block)
+    mods = embedder.mods_ab[phases]
+
+    block_size = Params.mark_sample_rate \
+        * int(Params.limiter_block_size_ms) // 1000
+    out = _add_file_core(
+        jnp.asarray(x), jnp.asarray(mods),
+        jnp.float32(embedder.water_delta),
+        jnp.asarray(analysis_window()), jnp.asarray(synthesis_window()),
+        jnp.float32(Params.limiter_ceiling),
+        G, n_channels, n_out, bool(Params.test_no_limiter), in_i16,
+        out_i16, block_size)
+    out = np.asarray(out)
+    if out_i16:
+        out = out.astype(np.float32) / 32768.0   # exact writer round trip
+
+    # reference data-block count: boundaries within the frames the 1-frame
+    # reference loop would feed, NOT within our padded dispatch
+    k_total = _ref_gen_frame_count(n_frames_in, bool(Params.test_no_limiter),
+                                   block_size)
+    t = np.arange(k_total)
+    embedder.m_data_blocks += int(np.sum(
+        (embedder.frame_number + t + 1) % embedder.frames_per_block == 0))
+    embedder.frame_number += G
+
+    out_stream.write_frames(out)
+    return n_frames_in
 
 
 def _info_format(label: str, fmt: RawFormat):
@@ -194,6 +301,27 @@ def add_stream_watermark(key: Key, in_stream: AudioInputStream,
         total_output_frames += out
         zero_frames_in -= skip_frames
 
+    # whole-file fast path: ONE fused device dispatch (embed+mix+limiter+
+    # quantize) with int16 transfers where exact — the remote-TPU tunnel is
+    # bandwidth-bound (~30/14 MB/s), so bytes moved dominate add wall time
+    if (zero_frames == 0 and in_stream.n_frames() is not None
+            and in_stream.sample_rate() == Params.mark_sample_rate
+            and not Params.snr
+            and in_stream.n_frames() <= _FAST_PATH_MAX_FRAMES * FRAME):
+        total_output_frames = _add_file_fast(embedder, in_stream, out_stream,
+                                             n_channels)
+        info("Data Blocks:  %d\n" % embedder.data_blocks())
+        expect_frames = in_stream.n_frames()
+        if total_output_frames != expect_frames:
+            msg = ("unexpected EOF; input frames (%d) != output frames (%d)"
+                   % (expect_frames, total_output_frames))
+            if Params.strict:
+                error("audiowmark: error: %s\n" % msg)
+                return 1
+            warning("audiowmark: warning: %s\n" % msg)
+        out_stream.close()
+        return 0
+
     # ramp the tile size up: small first tiles give low time-to-first-byte
     # for streaming use (the reference's 1-frame pipeline), large steady-state
     # tiles keep device dispatches big.  Known-length file inputs skip the
@@ -204,6 +332,12 @@ def add_stream_watermark(key: Key, in_stream: AudioInputStream,
     else:
         embedder.tile_frames = 4096
         tile_frames = embedder.tile_frames
+        if (zero_frames == 0
+                and in_stream.sample_rate() == Params.mark_sample_rate):
+            embedder.count_cap = _ref_gen_frame_count(
+                in_stream.n_frames(), bool(Params.test_no_limiter),
+                Params.mark_sample_rate
+                * int(Params.limiter_block_size_ms) // 1000)
     eof = False
     while True:
         tile = tile_frames * FRAME

@@ -27,7 +27,7 @@ import jax.numpy as jnp
 
 from ..params import Params
 from ..tables import KeyTables
-from ..utils.devcache import device_array
+from ..utils.devcache import device_audio
 from .frames import (FRAME, MIN_DB, _LOG2_DB, _db_spectrogram_core,
                      analysis_window)
 
@@ -158,7 +158,7 @@ def hop_spectrogram(samples: np.ndarray, n_channels: int,
     pad_chunks = -(-n_taus // TILE) * TILE + SHIFTS - 1
     # one cached upload of the raw buffer; the chunk view + padding are
     # derived on device
-    x_dev = device_array(samples).reshape(-1, n_channels)
+    x_dev = device_audio(samples).reshape(-1, n_channels)
     xc_j = x_dev[: n_chunks * HOP].reshape(n_chunks, HOP, n_channels)
     if pad_chunks > n_chunks:
         xc_j = jnp.concatenate(
@@ -460,7 +460,7 @@ def refine_grid(samples: np.ndarray, n_channels: int, bases: np.ndarray,
         f_last = (w_start + FRAME) * n_channels
         have *= (~((f_last < first) | (f_first > last))).astype(np.float32)
 
-    x_dev = device_array(samples).reshape(-1, n_channels)
+    x_dev = device_audio(samples).reshape(-1, n_channels)
     xpad = jnp.concatenate(
         [x_dev.T, jnp.zeros((n_channels, _SPAN), jnp.float32)], axis=1)
     use_dft = jax.default_backend() == "tpu"

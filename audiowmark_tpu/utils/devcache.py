@@ -18,9 +18,15 @@ from typing import Dict, Tuple
 
 import numpy as np
 
+import jax
 import jax.numpy as jnp
 
 _store: Dict[int, Tuple[weakref.ref, object]] = {}
+
+
+@jax.jit
+def _dequant16(i16: jnp.ndarray) -> jnp.ndarray:
+    return i16.astype(jnp.float32) * jnp.float32(1.0 / 32768.0)
 
 
 def device_array(x: np.ndarray):
@@ -30,6 +36,54 @@ def device_array(x: np.ndarray):
     if ent is not None and ent[0]() is x:
         return ent[1]
     dev = jnp.asarray(x)
+    _store[key] = (weakref.ref(x, lambda _r, k=key: _store.pop(k, None)),
+                   dev)
+    return dev
+
+
+# derived-buffer registry: id(derived) -> (weakref(derived), base array,
+# first, last, pad_start, pad_end); the device copy is built from the
+# base's cached upload + device-side zeros instead of a fresh transfer
+_padded: Dict[int, Tuple] = {}
+
+
+def register_padded(derived: np.ndarray, base: np.ndarray, first: int,
+                    last: int, pad_start: int, pad_end: int) -> None:
+    """Declare `derived == [zeros(pad_start), base[first:last],
+    zeros(pad_end)]` so device_audio(derived) can assemble it on device
+    from base's cached upload — zero extra bytes over the host link."""
+    key = id(derived)
+    _padded[key] = (weakref.ref(derived,
+                                lambda _r, k=key: _padded.pop(k, None)),
+                    base, first, last, pad_start, pad_end)
+
+
+def device_audio(x: np.ndarray):
+    """Device float32 copy of an audio buffer, cached by object identity.
+
+    When every sample sits exactly on the 16-bit grid (16-bit PCM sources —
+    the common case), the transfer goes as int16 and dequantizes on device:
+    half the bytes through a bandwidth-bound host link (the remote-TPU
+    tunnel moves ~30 MB/s up).  Buffers declared via register_padded are
+    assembled on device from their base's cached upload."""
+    key = id(x)
+    ent = _store.get(key)
+    if ent is not None and ent[0]() is x:
+        return ent[1]
+    pad = _padded.get(key)
+    if pad is not None and pad[0]() is x:
+        _, base, first, last, pad_start, pad_end = pad
+        dev = jnp.concatenate([
+            jnp.zeros(pad_start, jnp.float32),
+            device_audio(base)[first:last],
+            jnp.zeros(pad_end, jnp.float32)])
+    else:
+        i16 = np.round(x * np.float32(32768.0))
+        if (np.all(np.abs(i16) <= 32767)
+                and np.array_equal(i16.astype(np.float32) / 32768.0, x)):
+            dev = _dequant16(jnp.asarray(i16.astype(np.int16)))
+        else:
+            dev = jnp.asarray(x)
     _store[key] = (weakref.ref(x, lambda _r, k=key: _store.pop(k, None)),
                    dev)
     return dev

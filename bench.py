@@ -360,8 +360,32 @@ def bench_production():
     return AUDIO_SECONDS * iters / elapsed
 
 
+def bench_io_floor():
+    """Hard transport ceiling of the production file API on this host link:
+    the audio must cross host<->device at least 3x (add upload, add download,
+    get upload), as int16 when the sample grid allows.  Through the remote
+    TPU tunnel (~30 MB/s up, ~14 MB/s down) this — not compute — bounds the
+    production realtime factor."""
+    probe = np.zeros(4 << 20, dtype=np.int16)          # 8 MB
+    d = jax.device_put(probe)
+    d.block_until_ready()
+    t0 = time.monotonic()
+    jax.device_put(probe).block_until_ready()
+    up_bw = probe.nbytes / (time.monotonic() - t0)
+    g = jax.jit(lambda v: v + 1)
+    r = g(d)
+    r.block_until_ready()
+    t0 = time.monotonic()
+    np.asarray(g(d))
+    down_bw = probe.nbytes / (time.monotonic() - t0)
+    audio_bytes = AUDIO_SECONDS * RATE * N_CHANNELS * 2    # int16
+    floor_s = 2 * audio_bytes / up_bw + audio_bytes / down_bw
+    return AUDIO_SECONDS / floor_s, up_bw / 1e6, down_bw / 1e6
+
+
 def main():
     fused_factor, compile_s, mfu = bench_fused()
+    io_floor_factor, up_mbs, down_mbs = bench_io_floor()
     prod_factor = bench_production()
     result = {
         "metric": "add_get_realtime_factor",
@@ -373,9 +397,13 @@ def main():
     }
     if mfu >= 0:
         result["fused_mfu"] = round(mfu, 4)
+    result["io_floor_factor"] = round(io_floor_factor, 1)
+    result["link_mb_s"] = [round(up_mbs, 1), round(down_mbs, 1)]
     print(json.dumps(result))
-    print("compile_s=%.1f fused=%.0fx production=%.0fx mfu=%.4f"
-          % (compile_s, fused_factor, prod_factor, mfu), file=sys.stderr)
+    print("compile_s=%.1f fused=%.0fx production=%.0fx mfu=%.4f "
+          "io_floor=%.0fx (link %.0f/%.0f MB/s)"
+          % (compile_s, fused_factor, prod_factor, mfu, io_floor_factor,
+             up_mbs, down_mbs), file=sys.stderr)
 
 
 if __name__ == "__main__":

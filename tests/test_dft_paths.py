@@ -32,18 +32,29 @@ def test_hop_tile_dft_matches_rfft():
     assert np.mean(np.abs(a - b)) < 0.01
 
 
-def test_block_db_dft_matches_rfft():
-    from audiowmark_tpu.models.decoder import _block_db_batch_dev
+def test_block_raw_dft_matches_rfft():
+    from audiowmark_tpu.crypto.keys import Key
+    from audiowmark_tpu.models.decoder import _block_raw_batch_dev
+    from audiowmark_tpu.params import Params
+    from audiowmark_tpu.tables import get_key_tables
+
+    tables = get_key_tables(Key())
+    count = tables.frames_per_block
     rng = np.random.RandomState(4)
-    count = 16
-    x = jnp.asarray(rng.randn(count * FRAME + 512, 2).astype(np.float32))
+    x = jnp.asarray(
+        (rng.randn((count + 2) * FRAME, 2) * 0.2).astype(np.float32))
     idx = jnp.asarray(np.array([0, 512], dtype=np.int32))
     awin = jnp.asarray(analysis_window())
     dftm = jnp.asarray(sync_ops._dft_matrix())
-    a = np.asarray(_block_db_batch_dev(x, idx, awin, dftm, count, False))
-    b = np.asarray(_block_db_batch_dev(x, idx, awin, dftm, count, True))
-    assert np.max(np.abs(a - b)) < 1.0
-    assert np.mean(np.abs(a - b)) < 0.01
+    lay_frame = jnp.asarray(tables.mix_frame.astype(np.int32))
+    lay_up = jnp.asarray((tables.mix_up - Params.min_band).astype(np.int32))
+    lay_dn = jnp.asarray((tables.mix_dn - Params.min_band).astype(np.int32))
+    group = Params.bands_per_frame * Params.frames_per_bit
+    args = (x, idx, awin, dftm, lay_frame, lay_up, lay_dn, count)
+    a = np.asarray(_block_raw_batch_dev(*args, False, True, group, 2))
+    b = np.asarray(_block_raw_batch_dev(*args, True, True, group, 2))
+    scale = np.mean(np.abs(a)) + 1e-9
+    assert np.max(np.abs(a - b)) / scale < 2e-3
 
 
 def test_speed_mag_matrix_dft_matches_rfft():
@@ -57,3 +68,36 @@ def test_speed_mag_matrix_dft_matches_rfft():
     b = np.asarray(speed_ops._mag_matrix_core(w, win, dftm, v, True))
     scale = np.mean(np.abs(a)) + 1e-9
     assert np.max(np.abs(a - b)) / scale < 0.01
+
+
+def test_block_raw_batch_matches_host_oracle():
+    """Device soft-bit extraction == host mix_or_linear_decode on the same
+    dB definition (rfft path, CPU)."""
+    from audiowmark_tpu.crypto.keys import Key
+    from audiowmark_tpu.models import decoder as dec
+    from audiowmark_tpu.tables import get_key_tables
+    from audiowmark_tpu.params import Params
+
+    tables = get_key_tables(Key())
+    count = tables.frames_per_block
+    rng = np.random.RandomState(7)
+    n = (count + 8) * FRAME
+    samples = (rng.randn(n * 2) * 0.2).astype(np.float32)
+    indices = [0, 3 * FRAME]
+
+    raw_map = dec._block_raw_batch(samples, 2, indices, tables)
+
+    x = samples.reshape(-1, 2)
+    awin = analysis_window()
+    for i in indices:
+        w = x[i:i + count * FRAME].reshape(count, FRAME, 2)
+        w = np.swapaxes(w, 1, 2)
+        spec = np.fft.rfft(w * awin[None, None, :], axis=-1)
+        spec = spec[:, :, Params.min_band:Params.max_band + 1]
+        a2 = np.abs(spec) ** 2
+        db = np.where(a2 > 0, np.log2(a2) * 3.01029995663981,
+                      np.float32(-500.0)).astype(np.float32)
+        want = dec.mix_or_linear_decode(tables, db)
+        got = raw_map[i]
+        scale = np.mean(np.abs(want)) + 1e-9
+        assert np.max(np.abs(got - want)) / scale < 2e-3, i
