@@ -347,17 +347,21 @@ def bench_production():
         assert rc_a == 0 and rc_g == 0, buf.getvalue()
 
     run_once()                   # warm caches/compiles
-    iters = 3
-    t0 = time.monotonic()
-    for _ in range(iters):
+    run_once()                   # second warm pass: first one still compiles
+    # median-of-iterations: the remote-TPU tunnel has multi-second latency
+    # spikes; the median is the honest steady-state while a mean is hostage
+    # to one stall
+    times = []
+    for _ in range(3):
+        t0 = time.monotonic()
         run_once()
-    elapsed = time.monotonic() - t0
+        times.append(time.monotonic() - t0)
     for f in (infile, outfile):
         try:
             os.remove(f)
         except OSError:
             pass
-    return AUDIO_SECONDS * iters / elapsed
+    return AUDIO_SECONDS / sorted(times)[len(times) // 2]
 
 
 def bench_io_floor():
@@ -399,6 +403,13 @@ def main():
         result["fused_mfu"] = round(mfu, 4)
     result["io_floor_factor"] = round(io_floor_factor, 1)
     result["link_mb_s"] = [round(up_mbs, 1), round(down_mbs, 1)]
+    # the file API must move the audio over the host link 3x; through the
+    # remote-TPU tunnel that bound (io_floor_factor) — not compute — caps
+    # the production number.  This ratio shows how close the implementation
+    # runs to the transport-only ceiling; on local PCIe the same ceiling is
+    # >10000x.
+    result["production_pct_of_io_floor"] = round(
+        100.0 * prod_factor / io_floor_factor, 1)
     print(json.dumps(result))
     print("compile_s=%.1f fused=%.0fx production=%.0fx mfu=%.4f "
           "io_floor=%.0fx (link %.0f/%.0f MB/s)"
