@@ -49,16 +49,8 @@ def ff_decode_to_wavdata(filename: str, fmt: Optional[str] = None) -> WavData:
     """Decode any libav-supported input to WavData (native shim)."""
     stream = ffshim.FFInputStream(filename, fmt=fmt)
     try:
-        chunks = []
-        while True:
-            block = stream.read_frames(65536)
-            if block.size == 0:
-                break
-            chunks.append(block)
-        samples = (np.concatenate(chunks) if chunks
-                   else np.zeros(0, np.float32))
-        return WavData(samples, stream.n_channels(), stream.sample_rate(),
-                       stream.bit_depth())
+        return WavData(ffshim.drain_stream(stream), stream.n_channels(),
+                       stream.sample_rate(), stream.bit_depth())
     finally:
         stream.close()
 
@@ -128,7 +120,8 @@ class HLSOutputStream(AudioOutputStream):
         self._delete_input_start = delete_input_start
         self._writer = ffshim.HLSSegmentWriter(
             filename, self._sample_rate, self._n_channels, self.bit_rate,
-            cut_aac_frames, keep_aac_frames, pts_start)
+            cut_aac_frames, keep_aac_frames, pts_start,
+            self.channel_layout)
 
     def sample_rate(self):
         return self._sample_rate

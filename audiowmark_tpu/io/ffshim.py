@@ -35,8 +35,9 @@ _ERRLEN = 512
 def _find_lib() -> Optional[str]:
     here = os.path.dirname(os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))))
-    for cand in (os.path.join(here, "native", "libffshim.so"),
-                 os.environ.get("FFSHIM_LIB", "")):
+    # an explicit FFSHIM_LIB must win over the repo default
+    for cand in (os.environ.get("FFSHIM_LIB", ""),
+                 os.path.join(here, "native", "libffshim.so")):
         if cand and os.path.exists(cand):
             return cand
     return None
@@ -103,7 +104,7 @@ def get_lib():
     lib.ffv_make_test_video.restype = c.c_int
     lib.ffh_open.argtypes = [c.c_char_p, c.c_int, c.c_int, c.c_longlong,
                              c.c_longlong, c.c_longlong, c.c_double,
-                             c.c_char_p, c.c_int]
+                             c.c_char_p, c.c_char_p, c.c_int]
     lib.ffh_open.restype = c.c_void_p
     lib.ffh_write.argtypes = [c.c_void_p, c.POINTER(c.c_float), c.c_long]
     lib.ffh_write.restype = c.c_long
@@ -231,19 +232,23 @@ def make_test_video(path: str, seconds: float, rate: int = 44100,
                           % (path, err.value.decode(errors="replace")))
 
 
+def drain_stream(stream) -> np.ndarray:
+    """Read an input stream to EOF; returns the interleaved samples."""
+    chunks = []
+    while True:
+        block = stream.read_frames(65536)
+        if block.size == 0:
+            break
+        chunks.append(block)
+    return (np.concatenate(chunks) if chunks
+            else np.zeros(0, np.float32))
+
+
 def decode_file(filename: str, fmt: Optional[str] = None):
     """Decode a whole file; returns (samples, n_channels, rate)."""
     stream = FFInputStream(filename, fmt=fmt)
     try:
-        chunks = []
-        while True:
-            block = stream.read_frames(65536)
-            if block.size == 0:
-                break
-            chunks.append(block)
-        samples = (np.concatenate(chunks) if chunks
-                   else np.zeros(0, np.float32))
-        return samples, stream.n_channels(), stream.sample_rate()
+        return drain_stream(stream), stream.n_channels(), stream.sample_rate()
     finally:
         stream.close()
 
@@ -330,14 +335,15 @@ class HLSSegmentWriter:
 
     def __init__(self, filename: str, rate: int, n_channels: int,
                  bit_rate: int, cut_aac_frames: int, keep_aac_frames: int,
-                 pts_start: float):
+                 pts_start: float, channel_layout: str = ""):
         lib = get_lib()
         if lib is None:
             raise StreamError("native codec shim not built")
         err = ctypes.create_string_buffer(_ERRLEN)
         self._h = lib.ffh_open(filename.encode(), rate, n_channels,
                                bit_rate, cut_aac_frames, keep_aac_frames,
-                               pts_start, err, _ERRLEN)
+                               pts_start, channel_layout.encode(),
+                               err, _ERRLEN)
         if not self._h:
             raise StreamError("hls open %s: %s"
                               % (filename,

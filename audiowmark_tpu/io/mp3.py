@@ -96,24 +96,27 @@ def mp3_detect(filename: str) -> bool:
         return True
     try:
         dec.open_feed()
-        frames = 0
+        reads = 0
         with open(filename, "rb") as f:
-            while frames < 30:
-                chunk = f.read(4096)
-                if not chunk:
+            while reads < 30:
+                rc, data = dec.read(16384)
+                if rc == mpg123.NEW_FORMAT:
+                    continue
+                if rc == mpg123.DONE:
+                    return True
+                if rc == mpg123.NEED_MORE:
+                    chunk = f.read(16384)
+                    if not chunk:
+                        # end of input with no decode error: the reference
+                        # returns true on MPG123_DONE, so short valid files
+                        # (< 30 reads) pass
+                        return True
+                    dec.feed(chunk)
+                    continue
+                if rc != mpg123.OK:
                     return False
-                dec.feed(chunk)
-                while frames < 30:
-                    rc, data = dec.read(16384)
-                    if rc == mpg123.NEW_FORMAT:
-                        continue
-                    if rc in (mpg123.NEED_MORE, mpg123.DONE):
-                        break
-                    if rc != mpg123.OK:
-                        return False
-                    if data:
-                        frames += 1
-        return frames >= 30
+                reads += 1
+        return True
     except (OSError, mpg123.Mpg123Error):
         return False
     finally:

@@ -28,7 +28,8 @@ from ..crypto.keys import Key
 from ..ops.frames import FRAME, MIN_DB, _LOG2_DB, analysis_window
 from ..params import Params
 from ..tables import KeyTables, get_key_tables, randomize_bit_order
-from ..utils.devcache import device_audio, register_padded
+from ..utils.devcache import (device_array, device_audio, memo_derived,
+                              register_padded)
 from . import syncfinder
 from .resultset import PatternType, ResultSet
 from .syncfinder import SyncMode
@@ -113,21 +114,31 @@ def _block_raw_batch(samples: np.ndarray, n_channels: int,
     idx[: len(valid)] = valid
     x_dev = device_audio(samples).reshape(-1, n_channels)
     from ..ops.sync import _dft_matrix
-    if Params.mix:
-        lay_frame = tables.mix_frame.astype(np.int32)
-        lay_up = (tables.mix_up - Params.min_band).astype(np.int32)
-        lay_dn = (tables.mix_dn - Params.min_band).astype(np.int32)
-        group = Params.bands_per_frame * Params.frames_per_bit
-    else:
-        f = np.arange(tables.n_data_frames)
-        lay_frame = tables.data_frame(f).astype(np.int32)
-        lay_up = (tables.data_up - Params.min_band).astype(np.int32)
-        lay_dn = (tables.data_dn - Params.min_band).astype(np.int32)
-        group = 0
+
+    def build_layout():
+        if Params.mix:
+            lay_frame = tables.mix_frame.astype(np.int32)
+            lay_up = (tables.mix_up - Params.min_band).astype(np.int32)
+            lay_dn = (tables.mix_dn - Params.min_band).astype(np.int32)
+            group = Params.bands_per_frame * Params.frames_per_bit
+        else:
+            f = np.arange(tables.n_data_frames)
+            lay_frame = tables.data_frame(f).astype(np.int32)
+            lay_up = (tables.data_up - Params.min_band).astype(np.int32)
+            lay_dn = (tables.data_dn - Params.min_band).astype(np.int32)
+            group = 0
+        return (jnp.asarray(lay_frame), jnp.asarray(lay_up),
+                jnp.asarray(lay_dn), group)
+
+    # one build + upload per key tables (each decode call would otherwise
+    # re-derive and re-transfer ~600 KB of gather tables)
+    lay_frame, lay_up, lay_dn, group = memo_derived(
+        tables, ("decode_layout", bool(Params.mix), Params.min_band,
+                 Params.bands_per_frame, Params.frames_per_bit),
+        build_layout)
     raws = np.asarray(_block_raw_batch_dev(
-        x_dev, jnp.asarray(idx), jnp.asarray(analysis_window()),
-        jnp.asarray(_dft_matrix()), jnp.asarray(lay_frame),
-        jnp.asarray(lay_up), jnp.asarray(lay_dn), frame_count,
+        x_dev, jnp.asarray(idx), device_array(analysis_window()),
+        device_array(_dft_matrix()), lay_frame, lay_up, lay_dn, frame_count,
         jax.default_backend() == "tpu", bool(Params.mix), group,
         Params.frames_per_bit))
     return {i: raws[k].astype(np.float32) for k, i in enumerate(valid)}

@@ -51,12 +51,6 @@ class StreamingEmbedder:
         self.frame_number = 2 * self.frames_per_block - Params.frames_pad_start
         self.m_data_blocks = 0
         self.water_delta = Params.water_delta
-        # optional budget of generator frames to count data blocks over:
-        # the reference feeds pad frames one at a time only until output
-        # catches up (src/wmadd.cc:520-546), while our tiles zero-pad far
-        # past that — without a cap the printed count can overshoot
-        self.count_cap = None
-        self._fed = 0
 
         self.prev1 = None
         self.prev2 = None
@@ -84,11 +78,8 @@ class StreamingEmbedder:
         out, self.prev1, self.prev2 = embed_delta_frames(
             frames, mods, self.water_delta, self.prev1, self.prev2)
         t = np.arange(n_frames)
-        hit = (self.frame_number + t + 1) % self.frames_per_block == 0
-        if self.count_cap is not None:
-            hit &= (self._fed + t) < self.count_cap
-        self.m_data_blocks += int(np.sum(hit))
-        self._fed += n_frames
+        self.m_data_blocks += int(np.sum(
+            (self.frame_number + t + 1) % self.frames_per_block == 0))
         self.frame_number += n_frames
         out = np.asarray(out).transpose(0, 2, 1).reshape(-1)
         if self.first_frame:
@@ -332,12 +323,6 @@ def add_stream_watermark(key: Key, in_stream: AudioInputStream,
     else:
         embedder.tile_frames = 4096
         tile_frames = embedder.tile_frames
-        if (zero_frames == 0
-                and in_stream.sample_rate() == Params.mark_sample_rate):
-            embedder.count_cap = _ref_gen_frame_count(
-                in_stream.n_frames(), bool(Params.test_no_limiter),
-                Params.mark_sample_rate
-                * int(Params.limiter_block_size_ms) // 1000)
     eof = False
     while True:
         tile = tile_frames * FRAME
@@ -357,10 +342,20 @@ def add_stream_watermark(key: Key, in_stream: AudioInputStream,
             eof = True
             if total_input_frames == total_output_frames:
                 break
-            # zero-pad past EOF so the synth/limiter tails drain
-            pad_frames = tile - got_frames
-            samples = np.concatenate([
-                samples, np.zeros(pad_frames * n_channels, dtype=np.float32)])
+            # Drain at the reference's granularity: pad the short read only
+            # to a frame boundary, then feed ONE frame per iteration until
+            # output catches up (src/wmadd.cc:520-546 pads per 1024-frame
+            # read).  Feeding whole zero tiles here would push the generator
+            # past where the reference's loop stops and overcount the
+            # printed data blocks — for any input rate.
+            whole = max(-(-got_frames // FRAME), 1) * FRAME
+            pad_frames = whole - got_frames
+            if pad_frames:
+                samples = np.concatenate([
+                    samples,
+                    np.zeros(pad_frames * n_channels, dtype=np.float32)])
+            embedder.tile_frames = 1
+            tile_frames = 1
 
         orig_fifo = np.concatenate([orig_fifo, samples])
         delta = embedder.run(samples)

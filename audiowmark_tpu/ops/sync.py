@@ -27,7 +27,7 @@ import jax.numpy as jnp
 
 from ..params import Params
 from ..tables import KeyTables
-from ..utils.devcache import device_audio
+from ..utils.devcache import device_array, device_audio, memo_derived
 from .frames import (FRAME, MIN_DB, _LOG2_DB, _db_spectrogram_core,
                      analysis_window)
 
@@ -54,7 +54,18 @@ class SyncBits:
 
 
 def build_sync_bits(tables: KeyTables, clip_mode: bool) -> SyncBits:
-    """Mirror of SyncFinder::get_sync_bits (src/syncfinder.cc:30-77)."""
+    """Mirror of SyncFinder::get_sync_bits (src/syncfinder.cc:30-77).
+
+    Memoized per key-tables identity: the ~660 KB selection matrix keeps a
+    stable identity across calls, so its device upload is cached too."""
+    return memo_derived(
+        tables,
+        ("sync_bits", clip_mode, Params.sync_bits,
+         Params.sync_frames_per_bit, Params.min_band, Params.max_band),
+        lambda: _build_sync_bits(tables, clip_mode))
+
+
+def _build_sync_bits(tables: KeyTables, clip_mode: bool) -> SyncBits:
     sfb = Params.sync_frames_per_bit
     n_blocks = 2 if clip_mode else 1
     fpb = tables.frames_per_block
@@ -164,9 +175,9 @@ def hop_spectrogram(samples: np.ndarray, n_channels: int,
         xc_j = jnp.concatenate(
             [xc_j, jnp.zeros((pad_chunks - n_chunks, HOP, n_channels),
                              jnp.float32)], axis=0)
-    awin = jnp.asarray(analysis_window())
+    awin = device_array(analysis_window())
     use_dft = jax.default_backend() == "tpu"
-    dftm = jnp.asarray(_dft_matrix())
+    dftm = device_array(_dft_matrix())
 
     tiles = [_hop_spec_tile(xc_j, jnp.int32(t0), awin, dftm, TILE, use_dft)
              for t0 in range(0, n_taus, TILE)]
@@ -269,7 +280,7 @@ def sync_score_sweep(S, have: np.ndarray, sync_bits: SyncBits) -> jnp.ndarray:
     if n_starts <= 0:
         return jnp.zeros(0, dtype=jnp.float32)
 
-    V = jnp.asarray(sync_bits.v)                      # (2*6*n_pos, N_BANDS)
+    V = device_array(sync_bits.v)                      # (2*6*n_pos, N_BANDS)
     offsets_np = (SHIFTS * sync_bits.frame.reshape(-1)).astype(np.int32)
     norm = jnp.float32(normalize_factor())
 
@@ -465,9 +476,9 @@ def refine_grid(samples: np.ndarray, n_channels: int, bases: np.ndarray,
         [x_dev.T, jnp.zeros((n_channels, _SPAN), jnp.float32)], axis=1)
     use_dft = jax.default_backend() == "tpu"
     from .frames import analysis_window
-    awin = jnp.asarray(analysis_window())
-    dftm = jnp.asarray(_dft_matrix())
-    v = jnp.asarray(sync_bits.v)
+    awin = device_array(analysis_window())
+    dftm = device_array(_dft_matrix())
+    v = device_array(sync_bits.v)
     norm = jnp.float32(normalize_factor())
 
     quals = np.empty((bases.size, N_REFINE), dtype=np.float32)

@@ -41,6 +41,27 @@ def device_array(x: np.ndarray):
     return dev
 
 
+# derived-value memo: (id(base), key) -> (weakref(base), value); values die
+# with the base object, so key-table invalidation (tables.clear_cache)
+# drops the derived layouts too
+_derived: Dict[Tuple[int, tuple], Tuple[weakref.ref, object]] = {}
+
+
+def memo_derived(base, key: tuple, fn):
+    """`fn()` computed once per (identity of `base`, `key`).
+
+    Used for per-key constants (sync-bit layouts, mix gather tables) that
+    would otherwise be rebuilt — and re-uploaded — on every decode call."""
+    k = (id(base), key)
+    ent = _derived.get(k)
+    if ent is not None and ent[0]() is base:
+        return ent[1]
+    val = fn()
+    _derived[k] = (weakref.ref(base, lambda _r, kk=k: _derived.pop(kk, None)),
+                   val)
+    return val
+
+
 # derived-buffer registry: id(derived) -> (weakref(derived), base array,
 # first, last, pad_start, pad_end); the device copy is built from the
 # base's cached upload + device-side zeros instead of a fresh transfer

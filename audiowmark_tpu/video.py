@@ -40,16 +40,8 @@ def extract(video: str, out_wav: str) -> None:
     _check_streams(video)
     stream = ffshim.FFInputStream(video)
     try:
-        chunks = []
-        while True:
-            block = stream.read_frames(65536)
-            if block.size == 0:
-                break
-            chunks.append(block)
-        samples = (np.concatenate(chunks) if chunks
-                   else np.zeros(0, np.float32))
-        WavData(samples, stream.n_channels(), stream.sample_rate(),
-                16).save(out_wav)
+        WavData(ffshim.drain_stream(stream), stream.n_channels(),
+                stream.sample_rate(), 16).save(out_wav)
     finally:
         stream.close()
 

@@ -1,22 +1,23 @@
 """Benchmark: watermark add+get on one chip — fused device pipeline AND the
 production Python API.
 
-Two numbers:
+Three numbers:
 
-* fused_kernel_factor — ONE jit running the full compute chain the decoder
-  actually performs: embed (window/rfft/magnitude-exponent delta/irfft/OLA),
-  limiter, hop-256 dB spectrogram, sync band-sum matmul + static-slice score
-  sweep over every start, local-mean subtraction, top-k candidates, the
-  +-256/step-8 refine pass (65 fine positions x 510 sync-frame FFTs per
-  candidate), per-candidate 2226-frame block FFT + mix_decode soft-bit
-  extraction with background subtraction and keyed de-interleave, and the
-  batched 2^15-state Viterbi over the REAL soft bits
+* fused_kernel_factor — ONE jit running embed (window/rfft/magnitude-
+  exponent delta/irfft/OLA), the limiter, and the PRODUCTION fused detector
+  (ops/detect_fused.build_detector: hop-256 dB spectrogram, sync band-sum
+  matmul + static-slice sweep over every start, local-mean subtraction,
+  top-k, the +-256/step-8 refine pass, per-candidate 2226-frame block FFT +
+  mix_decode soft bits, batched 2^15-state A/B Viterbi)
   (reference hot loops: src/wmget.cc:503-553, src/syncfinder.cc:393-458).
 
 * add_get_realtime_factor (the headline, vs_baseline) — wall-clock of the
   production `add_watermark` + `get_watermark` API on a real 120 s noise
   buffer via /dev/shm files, host orchestration, candidate selection, AB/all
-  merging and result reporting included.
+  merging and result reporting included.  Median of 3 iterations.
+
+* io_floor_factor — the transport-only ceiling of moving the audio
+  host<->device 3x on this link; the production number is bounded by it.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...extras}.
 vs_baseline is measured against the >=1000x-realtime north star
@@ -42,14 +43,10 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
 
 import jax.numpy as jnp
 
-from audiowmark_tpu.codec.convcode import (
-    ConvBlockType, _state_output_table, _viterbi_core)
 from audiowmark_tpu.crypto.keys import Key
 from audiowmark_tpu.models.common import build_ab_frame_mods, parse_payload
-from audiowmark_tpu.ops.frames import (
-    FRAME, MIN_DB, _LOG2_DB, analysis_window, synthesis_window)
-from audiowmark_tpu.ops import sync as sync_ops
-from audiowmark_tpu.ops.sync import _SPAN, _SUB, _dft_matrix
+from audiowmark_tpu.ops.detect_fused import DetectorConfig, build_detector
+from audiowmark_tpu.ops.frames import FRAME, analysis_window, synthesis_window
 from audiowmark_tpu.params import Params
 from audiowmark_tpu.tables import get_key_tables
 
@@ -57,15 +54,17 @@ AUDIO_SECONDS = 120          # per iteration
 N_CHANNELS = 2
 RATE = 44100
 TOP_K = 8                    # get_n_best candidates decoded per iteration
-REFINE_STEPS = 2 * (Params.sync_search_step // Params.sync_search_fine) + 1
 
 
 def build_pipeline():
+    """ONE jit: on-device noise -> embed -> limiter -> the PRODUCTION fused
+    detector (ops/detect_fused.build_detector — the same kernel the batch
+    API dispatches), so the benchmark cannot diverge from the shipped
+    detect chain."""
     key = Key()
     tables = get_key_tables(key)
     bitvec = parse_payload("f0f0f0f0f0f0f0f0f0f0f0f0f0f0f0f0")
     mods_ab = build_ab_frame_mods(tables, bitvec)
-    sync_bits = sync_ops.build_sync_bits(tables, clip_mode=False)
 
     T = AUDIO_SECONDS * RATE // FRAME
     fpb2 = mods_ab.shape[0]
@@ -75,50 +74,12 @@ def build_pipeline():
 
     awin = jnp.asarray(analysis_window())
     swin = jnp.asarray(synthesis_window())
-    V = jnp.asarray(sync_bits.v)
-    offsets_np = (sync_ops.SHIFTS * sync_bits.frame.reshape(-1)).astype(np.int32)
-    n_pos = sync_bits.n_pos
-    total_frames = sync_bits.total_frames
-    norm = jnp.float32(sync_ops.normalize_factor())
-
-    # block-decode constants (mix mode): keyed mix scatter + bit interleaver
-    mix_frame = jnp.asarray(tables.mix_frame.astype(np.int32))
-    mix_up = jnp.asarray((tables.mix_up - Params.min_band).astype(np.int32))
-    mix_dn = jnp.asarray((tables.mix_dn - Params.min_band).astype(np.int32))
-    group = Params.bands_per_frame * Params.frames_per_bit
     n_coded = tables.bit_order.size
-    inv_order = jnp.asarray(np.argsort(tables.bit_order).astype(np.int32))
-    frames_per_block = tables.frames_per_block
-    sync_frames = jnp.asarray(sync_bits.frame.reshape(-1).astype(np.int32))
-
-    s_table = jnp.asarray(_state_output_table(ConvBlockType.a))
-    rate_a = 6
-
     block_size = RATE  # 1 s limiter blocks
     n_samples = T * FRAME
-    n_bands = sync_ops.N_BANDS
 
-    dftm_bands = jnp.asarray(_dft_matrix())   # windowed, band-restricted
-
-    def db_rows(wins):
-        """(P, FRAME, C) windows -> (P, n_bands) dB summed over channels.
-        Band-restricted DFT matmul (window folded into the matrix) — one
-        MXU op instead of a 513-bin rfft."""
-        P, _, C = wins.shape
-        flat = jnp.swapaxes(wins, 1, 2).reshape(P * C, FRAME)
-        spec = jnp.dot(flat, dftm_bands, preferred_element_type=jnp.float32)
-        abs2 = spec[:, :n_bands] ** 2 + spec[:, n_bands:] ** 2
-        db = jnp.where(abs2 > 0, jnp.log2(abs2) * jnp.float32(_LOG2_DB),
-                       jnp.float32(MIN_DB))
-        return jnp.sum(db.reshape(P, C, n_bands), axis=1)
-
-    def bit_quality(u, d):
-        """(.., 6) up/down magnitude sums -> mean sign-matched quality."""
-        expect = (jnp.arange(6) & 1).astype(jnp.float32)
-        raw = jnp.where((u == 0) | (d == 0), 0.0,
-                        jnp.where(u < d, 1.0 - u / d, d / u - 1.0))
-        q = jnp.where(expect > 0, raw, -raw)
-        return jnp.mean(q, axis=-1) * norm
+    detect = build_detector(
+        key, DetectorConfig(n_frames=T, n_channels=N_CHANNELS, top_k=TOP_K))
 
     def step(seed):
         # ---- generate audio on device ----
@@ -156,116 +117,11 @@ def build_pipeline():
                    * scale[:, :, None]).reshape(-1, N_CHANNELS)
         limited = jnp.concatenate([limited, flat[B * block_size:]], axis=0)
 
-        # ---- detect: hop-256 spectrogram (windows via slices, not gather) ----
-        n_taus = sync_ops.SHIFTS * (T - 1)
-        xc = limited[: (limited.shape[0] // sync_ops.HOP) * sync_ops.HOP]
-        xc = xc.reshape(-1, sync_ops.HOP, N_CHANNELS)
-        windows = jnp.concatenate(
-            [xc[k:k + n_taus] for k in range(sync_ops.SHIFTS)], axis=1)
-        S = db_rows(windows)                                # (taus, bands)
-
-        # ---- sync score sweep (static slices of the transposed band sums) ----
-        Dt = jnp.dot(V, S.T, preferred_element_type=jnp.float32)
-        n_starts = max(sync_ops.SHIFTS * (T - 1 - total_frames), 1)
-        us, ds = [], []
-        for b in range(6):
-            au = 0.0
-            ad = 0.0
-            for k in range(n_pos):
-                j = b * n_pos + k
-                o = int(offsets_np[j])
-                au = au + jax.lax.slice_in_dim(Dt[2 * j], o, o + n_starts)
-                ad = ad + jax.lax.slice_in_dim(Dt[2 * j + 1], o, o + n_starts)
-            us.append(au)
-            ds.append(ad)
-        q = bit_quality(jnp.stack(us, 1), jnp.stack(ds, 1))  # (n_starts,)
-
-        # ---- local mean (+-20 excl +-3) and candidate selection ----
-        dist, excl = 20, 4
-        qpad = jnp.concatenate([jnp.zeros(dist), q, jnp.zeros(dist)])
-        cpad = jnp.concatenate([jnp.zeros(dist), jnp.ones(n_starts),
-                                jnp.zeros(dist)])
-        tot = 0.0
-        cnt = 0.0
-        for j in list(range(-dist, -excl + 1)) + list(range(excl, dist + 1)):
-            tot = tot + jax.lax.slice_in_dim(qpad, dist + j, dist + j + n_starts)
-            cnt = cnt + jax.lax.slice_in_dim(cpad, dist + j, dist + j + n_starts)
-        mean = tot / jnp.maximum(cnt, 1.0)
-        abs_q = jnp.abs(q - mean)
-        top = jax.lax.top_k(abs_q, TOP_K)[1]                # (K,) tau indices
-
-        max_pos = n_samples - frames_per_block * FRAME
-        # channels-first zero-padded view for the refine span slices
-        lpad = jnp.concatenate(
-            [limited.T, jnp.zeros((N_CHANNELS, _SPAN), jnp.float32)], axis=1)
-        dftm = jnp.asarray(_dft_matrix())
-        J = sync_frames.shape[0]
-
-        def per_candidate(t):
-            base = t * sync_ops.HOP
-            cmean = mean[t]
-            # refine: +-256 in steps of 8, grid start max(base-256, 0)
-            # (src/syncfinder.cc:427-442) via span slices + DFT matmul
-            start = jnp.maximum(base - Params.sync_search_step, 0)
-            pos = start + Params.sync_search_fine * jnp.arange(REFINE_STEPS)
-            valid = ((pos <= base + Params.sync_search_step)
-                     & (pos <= max_pos)).astype(jnp.float32)
-            span_starts = start + sync_frames * FRAME          # (J,)
-            spans = jax.vmap(
-                lambda s: jax.lax.dynamic_slice_in_dim(lpad, s, _SPAN, axis=1)
-            )(span_starts)                                     # (J, C, _SPAN)
-            flat = spans.reshape(J * N_CHANNELS, _SPAN)
-            specs = [
-                jnp.dot(jax.lax.slice_in_dim(flat, _SUB * k,
-                                             _SUB * k + FRAME, axis=1),
-                        dftm, preferred_element_type=jnp.float32)
-                for k in range(REFINE_STEPS)]
-            spec = jnp.stack(specs, axis=1)                    # (J*C, 65, 2NB)
-            abs2 = spec[..., :n_bands] ** 2 + spec[..., n_bands:] ** 2
-            db = jnp.where(abs2 > 0, jnp.log2(abs2) * jnp.float32(_LOG2_DB),
-                           jnp.float32(MIN_DB))
-            db = jnp.sum(db.reshape(J, N_CHANNELS, REFINE_STEPS, n_bands),
-                         axis=1)                               # (J, 65, NB)
-            u = jnp.einsum("jpb,jb->pj", db, V[0::2]) * valid[:, None]
-            d = jnp.einsum("jpb,jb->pj", db, V[1::2]) * valid[:, None]
-            fine_q = bit_quality(
-                jnp.sum(u.reshape(REFINE_STEPS, 6, n_pos), axis=2),
-                jnp.sum(d.reshape(REFINE_STEPS, 6, n_pos), axis=2))
-            best = jnp.argmax(jnp.abs(fine_q - cmean) * valid)
-            best_pos = pos[best]
-
-            # block decode: 2226 consecutive frames at the refined start
-            w = jax.lax.dynamic_slice_in_dim(
-                limited, best_pos, frames_per_block * FRAME)
-            wf = jnp.swapaxes(
-                w.reshape(frames_per_block, FRAME, N_CHANNELS), 1, 2)
-            bspec = jnp.dot(wf.reshape(frames_per_block * N_CHANNELS, FRAME),
-                            dftm_bands, preferred_element_type=jnp.float32)
-            ab2 = bspec[:, :n_bands] ** 2 + bspec[:, n_bands:] ** 2
-            ab2 = ab2.reshape(frames_per_block, N_CHANNELS, n_bands)
-            bdb = jnp.where(ab2 > 0, jnp.log2(ab2) * jnp.float32(_LOG2_DB),
-                            jnp.float32(MIN_DB))             # (F, C, bands)
-            # background subtraction: minus avg of prev/next frame's bins
-            nf = frames_per_block
-            prv_i = jnp.concatenate([jnp.array([1]), jnp.arange(nf - 1)])
-            nxt_i = jnp.concatenate([jnp.arange(1, nf), jnp.array([nf - 2])])
-            A = bdb - 0.5 * (bdb[prv_i] + bdb[nxt_i])
-            A = jnp.sum(A, axis=1)                           # (F, bands)
-            um = A[mix_frame, mix_up]
-            dm = A[mix_frame, mix_dn]
-            raw = jnp.sum((um - dm).reshape(-1, group), axis=1)  # (n_coded,)
-            raw = raw[inv_order]                             # de-interleave
-            soft = 0.5 * (raw / jnp.mean(jnp.abs(raw)) + 1.0)
-            return soft, fine_q[best]
-
-        softs, fine_qs = jax.lax.map(per_candidate, top)     # (K, n_coded)
-
-        # ---- batched Viterbi over the real soft bits ----
-        bits, errs = jax.vmap(
-            lambda c: _viterbi_core(c, s_table, rate_a))(softs)
-
-        return (jnp.sum(limited[0]) + jnp.sum(fine_qs) + jnp.sum(bits[:, 0])
-                + jnp.sum(errs))
+        # ---- detect: the production fused kernel ----
+        out = detect(limited)
+        return (jnp.sum(limited[0]) + jnp.sum(out["qualities"])
+                + jnp.sum(out["bits"][:, 0].astype(jnp.float32))
+                + jnp.sum(out["errors"]))
 
     return jax.jit(step), n_coded
 
@@ -371,14 +227,14 @@ def bench_io_floor():
     TPU tunnel (~30 MB/s up, ~14 MB/s down) this — not compute — bounds the
     production realtime factor."""
     probe = np.zeros(4 << 20, dtype=np.int16)          # 8 MB
-    d = jax.device_put(probe)
-    d.block_until_ready()
-    t0 = time.monotonic()
-    jax.device_put(probe).block_until_ready()
-    up_bw = probe.nbytes / (time.monotonic() - t0)
     g = jax.jit(lambda v: v + 1)
-    r = g(d)
-    r.block_until_ready()
+    d = jax.device_put(probe)
+    float(d[0])        # block_until_ready does not reliably synchronize
+    t0 = time.monotonic()
+    d2 = jax.device_put(probe)
+    float(d2[0])       # scalar fetch forces the upload to have completed
+    up_bw = probe.nbytes / (time.monotonic() - t0)
+    float(g(d)[0])
     t0 = time.monotonic()
     np.asarray(g(d))
     down_bw = probe.nbytes / (time.monotonic() - t0)

@@ -450,7 +450,8 @@ AVSampleFormat enc_pick_fmt(const AVCodec *codec) {
 
 Encoder *enc_open(const char *path, const char *fmt_name,
                   const char *codec_name, int in_rate, int channels,
-                  long long bit_rate, char *err, int errlen) {
+                  long long bit_rate, const char *layout, char *err,
+                  int errlen) {
   Encoder *e = new Encoder();
   e->in_rate = in_rate;
   e->channels = channels;
@@ -468,7 +469,22 @@ Encoder *enc_open(const char *path, const char *fmt_name,
   }
   e->enc = avcodec_alloc_context3(codec);
   e->enc->sample_rate = enc_pick_rate(codec, in_rate);
-  av_channel_layout_default(&e->enc->ch_layout, channels);
+  // honor an explicit layout name (e.g. "5.1(side)") when it matches the
+  // channel count — the reference forwards the probed layout to the AAC
+  // encoder (src/hls.cc channel_layout var -> hlsoutputstream)
+  bool have_layout = false;
+  if (layout && *layout) {
+    AVChannelLayout want;
+    if (av_channel_layout_from_string(&want, layout) >= 0) {
+      if (want.nb_channels == channels) {
+        av_channel_layout_copy(&e->enc->ch_layout, &want);
+        have_layout = true;
+      }
+      av_channel_layout_uninit(&want);
+    }
+  }
+  if (!have_layout)
+    av_channel_layout_default(&e->enc->ch_layout, channels);
   e->enc->sample_fmt = enc_pick_fmt(codec);
   if (bit_rate > 0)
     e->enc->bit_rate = bit_rate;
@@ -670,7 +686,7 @@ int ffs_encode(const char *path, const char *fmt_name, const char *codec_name,
                int rate, int channels, long long bit_rate, const float *pcm,
                long long n_frames, char *err, int errlen) {
   Encoder *e = enc_open(path, fmt_name, codec_name, rate, channels, bit_rate,
-                        err, errlen);
+                        nullptr, err, errlen);
   if (!e)
     return -1;
   const long chunk = 65536;
@@ -708,9 +724,9 @@ int ffs_have_encoder(const char *codec_name) {
 
 void *ffh_open(const char *path, int rate, int channels, long long bit_rate,
                long long cut_aac_frames, long long keep_aac_frames,
-               double pts_start, char *err, int errlen) {
-  Encoder *e = enc_open(path, "mpegts", "aac", rate, channels, bit_rate, err,
-                        errlen);
+               double pts_start, const char *layout, char *err, int errlen) {
+  Encoder *e = enc_open(path, "mpegts", "aac", rate, channels, bit_rate,
+                        layout, err, errlen);
   if (!e)
     return nullptr;
   e->hls_mode = true;
@@ -855,7 +871,11 @@ int ffr_remux_audio(const char *in_path, const char *audio_path,
   }
   AVCodecContext *enc = avcodec_alloc_context3(enc_codec);
   enc->sample_rate = enc_pick_rate(enc_codec, wav->rate);
-  av_channel_layout_default(&enc->ch_layout, wav->channels);
+  // keep the source stream's channel layout when the count matches
+  if (in_audio->codecpar->ch_layout.nb_channels == wav->channels)
+    av_channel_layout_copy(&enc->ch_layout, &in_audio->codecpar->ch_layout);
+  else
+    av_channel_layout_default(&enc->ch_layout, wav->channels);
   enc->sample_fmt = enc_pick_fmt(enc_codec);
   if (bit_rate > 0)
     enc->bit_rate = bit_rate;
@@ -895,7 +915,14 @@ int ffr_remux_audio(const char *in_path, const char *audio_path,
     fail = avformat_write_header(out_fmt, nullptr) < 0;
   bool header_ok = !fail;
 
-  int64_t audio_pts = 0;      // samples encoded so far
+  // Start the replacement audio at the input audio stream's start time:
+  // copied video/subtitle packets keep their original (rescaled)
+  // timestamps, and TS captures routinely start at nonzero dts — encoding
+  // from pts 0 would play the audio early by that offset.
+  int64_t audio_pts = 0;      // samples encoded so far + start offset
+  if (in_audio->start_time != AV_NOPTS_VALUE && in_audio->start_time > 0)
+    audio_pts = av_rescale_q(in_audio->start_time, in_audio->time_base,
+                             AVRational{1, enc->sample_rate});
   bool audio_eof = false;
 
   // audio encode helpers ----------------------------------------------------

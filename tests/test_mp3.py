@@ -84,13 +84,14 @@ def test_read_frames_promised_count(mp3_file):
     assert total == n
 
 
-def test_detect_too_short(tmp_path):
-    """Fewer than 30 frames -> not detected (matches the reference's
-    30-frame probe)."""
+def test_detect_short_valid(tmp_path):
+    """A valid MP3 shorter than the 30-frame probe IS detected: the
+    reference returns true on MPG123_DONE before the 30 reads complete
+    (src/mp3inputstream.cc:262-266)."""
     samples = _tone(0.3)  # ~11 frames
     path = tmp_path / "short.mp3"
     path.write_bytes(lame.encode_mp3(samples, 2, 44100, 128))
-    assert not mp3_detect(str(path))
+    assert mp3_detect(str(path))
 
 
 @pytest.mark.slow
