@@ -46,6 +46,11 @@ class DetectorConfig:
     n_frames: int            # T — whole frames in each stream
     n_channels: int = 2
     top_k: int = 8
+    # candidates refined/decoded together (vmapped): each one holds a
+    # (510*C, 65, 162) refine tensor + a 2226-frame block in flight
+    # (~60 MB at C=2), so 4 trades ~250 MB HBM for a 4x shorter serial
+    # chain; lower it when vmapping the detector over many streams
+    candidate_batch: int = 4
 
 
 def build_detector(key: Key, cfg: DetectorConfig) -> Callable:
@@ -199,7 +204,9 @@ def build_detector(key: Key, cfg: DetectorConfig) -> Callable:
             soft = 0.5 * (raw / jnp.mean(jnp.abs(raw)) + 1.0)
             return soft, best_q, best_pos
 
-        softs, fine_qs, positions = jax.lax.map(per_candidate, top)
+        bs = max(1, min(cfg.candidate_batch, K))
+        softs, fine_qs, positions = jax.lax.map(per_candidate, top,
+                                                batch_size=bs)
 
         # block type from the sync sign (A positive, B negative,
         # src/syncfinder.cc:544-553); Viterbi with the matching generators

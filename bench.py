@@ -212,6 +212,7 @@ def bench_production():
         t0 = time.monotonic()
         run_once()
         times.append(time.monotonic() - t0)
+        print("prod_iter_s=%.2f" % times[-1], file=sys.stderr)
     for f in (infile, outfile):
         try:
             os.remove(f)
@@ -244,9 +245,12 @@ def bench_io_floor():
 
 
 def main():
-    fused_factor, compile_s, mfu = bench_fused()
+    # production first: the sustained fused phase can throttle the remote
+    # tunnel for a while, and the io floor should be sampled adjacent to
+    # the production runs it contextualizes
     io_floor_factor, up_mbs, down_mbs = bench_io_floor()
     prod_factor = bench_production()
+    fused_factor, compile_s, mfu = bench_fused()
     result = {
         "metric": "add_get_realtime_factor",
         "value": round(prod_factor, 1),
