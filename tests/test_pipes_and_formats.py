@@ -163,3 +163,59 @@ def test_24bit_wav_roundtrip(tmp_path, capsys):
     assert run(["add", src, wm, MSG]) == 0
     assert run(["test-info", wm, "bit_depth"]) == 0
     assert int(capsys.readouterr().out.strip()) == 24
+
+
+def _info(path, what):
+    out = subprocess.run(CLI + ["test-info", path, what],
+                         capture_output=True, env=ENV, cwd="/root/repo")
+    assert out.returncode == 0
+    return int(out.stdout.decode().strip())
+
+
+def _snr(orig, wm):
+    out = subprocess.run(CLI + ["test-snr", orig, wm],
+                         capture_output=True, env=ENV, cwd="/root/repo")
+    assert out.returncode == 0
+    return float(out.stdout.decode().strip())
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("bits", [16, 24, 32])
+def test_wav_pipe_triple_nested(tmp_path, bits):
+    """Reference tests/wav-pipe-test.sh: three watermarks chained through
+    wav-pipe stdin/stdout under keys 1/2/3 (--test-no-limiter), length
+    preserved, SNR floors 32/29/27 dB, bit depth preserved, and (16-bit
+    only, for runtime) each key finds its 5 matches while the wrong key
+    finds 0."""
+    src = str(tmp_path / "in.wav")
+    assert run(["test-gen-noise", "--bits", str(bits), src,
+                "200", "44100"]) == 0
+    assert _info(src, "bit_depth") == bits
+
+    outs = []
+    prev = src
+    for k in (1, 2, 3):
+        out = str(tmp_path / ("out%d.wav" % k))
+        with open(prev, "rb") as fi, open(out, "wb") as fo:
+            p = _cli(["--strict", "add", "--test-key", str(k),
+                      "--test-no-limiter", "--format", "wav-pipe",
+                      "-", "-", MSG], stdin=fi, stdout=fo)
+            assert p.returncode == 0, (bits, k)
+        outs.append(out)
+        prev = out
+
+    n = _info(src, "frames")
+    for out, floor in zip(outs, (32.0, 29.0, 27.0)):
+        assert _info(out, "frames") == n
+        assert _snr(src, out) >= floor
+    assert _info(outs[2], "bit_depth") == bits
+
+    if bits == 16:
+        rc = run(["--strict", "cmp", "--expect-matches", "0",
+                  "--input-format", "wav-pipe", outs[2], MSG])
+        assert rc == 0                     # zero key: no matches
+        for k in (1, 2, 3):
+            rc = run(["--strict", "cmp", "--test-key", str(k),
+                      "--expect-matches", "5", "--input-format", "wav-pipe",
+                      outs[2], MSG])
+            assert rc == 0, k
