@@ -146,6 +146,59 @@ def _viterbi_core(coded: jnp.ndarray, s_table: jnp.ndarray, rate: int):
     return bits_rev, final_err
 
 
+@partial(jax.jit, static_argnames=("rate",))
+def _viterbi_core_batch(codeds: jnp.ndarray, s_tables: jnp.ndarray,
+                        rate: int):
+    """Batched Viterbi: B sequences advance through ONE trellis.
+
+    codeds: (B, steps*rate) f32; s_tables: (B, states, rate) — per-sequence
+    generator tables, so A- and B-block decodes share one launch.  On TPU
+    the whole batch runs as a single Pallas grid of `steps` (the B
+    candidates x 2 block types would otherwise serialize 2B kernels of
+    `steps` sequential grid iterations each).  Bit-exact with per-sequence
+    _viterbi_core (tests/test_codec.py)."""
+    B = codeds.shape[0]
+    steps = codeds.shape[1] // rate
+    c = codeds.reshape(B, steps, rate)
+    c_sq = jnp.sum(c * c, axis=2, keepdims=True)              # (B, steps, 1)
+    s_sum = jnp.sum(s_tables, axis=2)[:, None, :]             # (B, 1, states)
+    bm = c_sq - 2.0 * jnp.einsum("bsr,bkr->bsk", c, s_tables,
+                                 preferred_element_type=jnp.float32) + s_sum
+
+    if jax.default_backend() == "tpu":
+        from ..ops.viterbi_pallas import viterbi_acs_pallas_batch
+        decisions, metrics = viterbi_acs_pallas_batch(bm)
+        final_err = metrics.reshape(B, -1)[:, 0] / jnp.float32(
+            codeds.shape[1])
+        dec_t_major = jnp.swapaxes(decisions, 0, 1)   # (steps, B, states)
+    else:
+        init = jnp.full((B, STATE_COUNT), _BIG,
+                        dtype=jnp.float32).at[:, 0].set(0.0)
+
+        def acs_step(metric, bm_t):
+            lo = metric[:, : STATE_COUNT // 2]
+            hi = metric[:, STATE_COUNT // 2:]
+            decision = hi < lo
+            best = jnp.where(decision, hi, lo)
+            return (jnp.repeat(best, 2, axis=1) + bm_t,
+                    jnp.repeat(decision, 2, axis=1))
+
+        final_metric, dec_t_major = jax.lax.scan(
+            acs_step, init, jnp.swapaxes(bm, 0, 1))
+        final_err = final_metric[:, 0] / jnp.float32(codeds.shape[1])
+
+    def traceback_step(state, dec_t):                 # state (B,)
+        bit = state & 1
+        d = jnp.take_along_axis(dec_t.astype(jnp.int32),
+                                state[:, None], axis=1)[:, 0]
+        prev = (state >> 1) | (d << (ORDER - 1))
+        return prev, bit
+
+    _, bits_rev = jax.lax.scan(traceback_step, jnp.zeros(B, jnp.int32),
+                               dec_t_major, reverse=True)
+    return jnp.swapaxes(bits_rev, 0, 1), final_err
+
+
 def conv_decode_soft(block_type: ConvBlockType, coded_bits,
                      return_error: bool = False):
     """Soft-decision Viterbi decode; coded_bits in [0,1] floats."""
@@ -164,14 +217,25 @@ def conv_decode_soft(block_type: ConvBlockType, coded_bits,
 
 def conv_decode_soft_batch(block_type: ConvBlockType,
                            coded_batch: np.ndarray):
-    """Batched decode: (B, n_coded) -> ((B, n_msg) bits, (B,) errors)."""
+    """Batched decode: (B, n_coded) -> ((B, n_msg) bits, (B,) errors).
+
+    Chunks of 8 share one trellis launch; the (chunk, steps, 2^15) branch-
+    metric tensor stays ~150 MB."""
     generators = get_block_type_generators(block_type)
     rate = len(generators)
     s_table = jnp.asarray(_state_output_table(block_type))
-    fn = jax.vmap(lambda c: _viterbi_core(c, s_table, rate))
-    bits, errs = fn(jnp.asarray(coded_batch, dtype=jnp.float32))
-    bits = np.asarray(bits, dtype=np.int32)
-    return bits[:, : bits.shape[1] - ORDER], np.asarray(errs)
+    coded = jnp.asarray(coded_batch, dtype=jnp.float32)
+    bits_out, errs_out = [], []
+    CHUNK = 8
+    for k0 in range(0, coded.shape[0], CHUNK):
+        chunk = coded[k0:k0 + CHUNK]
+        tables = jnp.broadcast_to(s_table[None],
+                                  (chunk.shape[0],) + s_table.shape)
+        bits, errs = _viterbi_core_batch(chunk, tables, rate)
+        bits_out.append(np.asarray(bits, dtype=np.int32))
+        errs_out.append(np.asarray(errs))
+    bits = np.concatenate(bits_out, axis=0)
+    return bits[:, : bits.shape[1] - ORDER], np.concatenate(errs_out)
 
 
 def conv_decode_hard(block_type: ConvBlockType, coded_bits) -> np.ndarray:

@@ -26,6 +26,7 @@ from ..codec import ConvBlockType, code_size
 from ..codec.dispatch import code_decode_soft_batch
 from ..crypto.keys import Key
 from ..ops.frames import FRAME, MIN_DB, _LOG2_DB, analysis_window
+from ..ops.sync import band_dot, dft_mode
 from ..params import Params
 from ..tables import KeyTables, get_key_tables, randomize_bit_order
 from ..utils.devcache import (device_array, device_audio, memo_derived,
@@ -65,8 +66,7 @@ def _block_raw_batch_dev(x: jnp.ndarray, indices: jnp.ndarray,
         C = x.shape[1]
         if use_dft:
             flat = jnp.swapaxes(w.reshape(count, FRAME, C), 1, 2)
-            spec = jnp.dot(flat.reshape(count * C, FRAME), dftm,
-                           preferred_element_type=jnp.float32)
+            spec = band_dot(flat.reshape(count * C, FRAME), dftm, use_dft)
             abs2 = spec[:, :n_bands] ** 2 + spec[:, n_bands:] ** 2
             abs2 = abs2.reshape(count, C, n_bands)
         else:
@@ -139,7 +139,7 @@ def _block_raw_batch(samples: np.ndarray, n_channels: int,
     raws = np.asarray(_block_raw_batch_dev(
         x_dev, jnp.asarray(idx), device_array(analysis_window()),
         device_array(_dft_matrix()), lay_frame, lay_up, lay_dn, frame_count,
-        jax.default_backend() == "tpu", bool(Params.mix), group,
+        dft_mode(), bool(Params.mix), group,
         Params.frames_per_bit))
     return {i: raws[k].astype(np.float32) for k, i in enumerate(valid)}
 

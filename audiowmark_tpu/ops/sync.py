@@ -95,6 +95,25 @@ def _build_sync_bits(tables: KeyTables, clip_mode: bool) -> SyncBits:
     return SyncBits(frame=frames, v=v, n_pos=n_pos, total_frames=total)
 
 
+# ---- band-restricted DFT path ------------------------------------------------
+
+def dft_mode() -> int:
+    """Selector for the band-restricted DFT spectrogram path:
+    0 = full rfft (CPU default), 1 = f32 DFT matmul (numeric oracles pass
+    True, which hashes equal to 1 as a static arg), 2 = bf16 operands
+    (TPU production: the MXU runs this K=1024 shape ~5.5x faster; the dB
+    error is ~0.03 dB against quality margins of several dB).  Speed
+    detection stays at f32 — its 5e-5-step argmax is precision-sensitive."""
+    return 2 if jax.default_backend() == "tpu" else 0
+
+
+def band_dot(flat: jnp.ndarray, dftm: jnp.ndarray, mode) -> jnp.ndarray:
+    if mode == 2:
+        return jnp.dot(flat.astype(jnp.bfloat16), dftm.astype(jnp.bfloat16),
+                       preferred_element_type=jnp.float32)
+    return jnp.dot(flat, dftm, preferred_element_type=jnp.float32)
+
+
 # ---- spectrogram -------------------------------------------------------------
 
 # (T, C, FRAME) windows -> (T, N_BANDS) dB summed over channels;
@@ -123,7 +142,7 @@ def _hop_spec_tile(xc: jnp.ndarray, start: jnp.ndarray, awin: jnp.ndarray,
     if use_dft:
         C = windows.shape[2]
         flat = jnp.swapaxes(windows, 1, 2).reshape(tile * C, FRAME)
-        spec = jnp.dot(flat, dftm, preferred_element_type=jnp.float32)
+        spec = band_dot(flat, dftm, use_dft)
         a2 = spec[:, :N_BANDS] ** 2 + spec[:, N_BANDS:] ** 2
         db = jnp.where(a2 > 0, jnp.log2(a2) * jnp.float32(_LOG2_DB),
                        jnp.float32(MIN_DB))
@@ -176,7 +195,7 @@ def hop_spectrogram(samples: np.ndarray, n_channels: int,
             [xc_j, jnp.zeros((pad_chunks - n_chunks, HOP, n_channels),
                              jnp.float32)], axis=0)
     awin = device_array(analysis_window())
-    use_dft = jax.default_backend() == "tpu"
+    use_dft = dft_mode()
     dftm = device_array(_dft_matrix())
 
     tiles = [_hop_spec_tile(xc_j, jnp.int32(t0), awin, dftm, TILE, use_dft)
@@ -392,8 +411,7 @@ def _refine_grid_scores(xpad: jnp.ndarray, span_starts: jnp.ndarray,
     for k in range(N_REFINE):
         w = jax.lax.slice_in_dim(flat, _SUB * k, _SUB * k + FRAME, axis=1)
         if use_dft:
-            specs.append(jnp.dot(w, dftm,
-                                 preferred_element_type=jnp.float32))
+            specs.append(band_dot(w, dftm, use_dft))
         else:
             s = jnp.fft.rfft(w * awin[None, :], axis=-1)
             s = s[:, Params.min_band:Params.max_band + 1]
@@ -474,7 +492,7 @@ def refine_grid(samples: np.ndarray, n_channels: int, bases: np.ndarray,
     x_dev = device_audio(samples).reshape(-1, n_channels)
     xpad = jnp.concatenate(
         [x_dev.T, jnp.zeros((n_channels, _SPAN), jnp.float32)], axis=1)
-    use_dft = jax.default_backend() == "tpu"
+    use_dft = dft_mode()
     from .frames import analysis_window
     awin = device_array(analysis_window())
     dftm = device_array(_dft_matrix())

@@ -28,3 +28,17 @@ def test_pallas_acs_matches_scan():
     d2, m2 = viterbi_acs_pallas(bm, interpret=True)
     assert np.allclose(np.asarray(fm), np.asarray(m2).reshape(-1))
     assert np.array_equal(np.asarray(decs).astype(np.int8), np.asarray(d2))
+
+
+def test_pallas_acs_batch_matches_scan():
+    from audiowmark_tpu.ops.viterbi_pallas import viterbi_acs_pallas_batch
+    rng = np.random.RandomState(1)
+    B, steps = 3, 9
+    bm = jnp.asarray(rng.rand(B, steps, STATE_COUNT).astype(np.float32))
+    d2, m2 = viterbi_acs_pallas_batch(bm, interpret=True)
+    for b in range(B):
+        fm, decs = _scan_reference(bm[b])
+        assert np.allclose(np.asarray(fm),
+                           np.asarray(m2[b]).reshape(-1)), b
+        assert np.array_equal(np.asarray(decs).astype(np.int8),
+                              np.asarray(d2[b])), b
