@@ -100,7 +100,8 @@ def get_lib():
                                     c.c_char_p, c.c_int]
     lib.ffr_remux_audio.restype = c.c_int
     lib.ffv_make_test_video.argtypes = [c.c_char_p, c.c_double, c.c_int,
-                                        c.c_int, c.c_char_p, c.c_int]
+                                        c.c_int, c.c_double, c.c_char_p,
+                                        c.c_int]
     lib.ffv_make_test_video.restype = c.c_int
     lib.ffh_open.argtypes = [c.c_char_p, c.c_int, c.c_int, c.c_longlong,
                              c.c_longlong, c.c_longlong, c.c_double,
@@ -220,14 +221,17 @@ def remux_audio(in_path: str, audio_path: str, out_path: str):
 
 
 def make_test_video(path: str, seconds: float, rate: int = 44100,
-                    channels: int = 2):
-    """Synthetic mpeg4+aac clip (fixture for videowmark tests)."""
+                    channels: int = 2, ts_offset: float = 0.0):
+    """Synthetic mpeg4+aac clip (fixture for videowmark tests).
+
+    ts_offset > 0 shifts every stream's timestamps (muxer output_ts_offset)
+    — models TS captures whose streams start at nonzero dts."""
     lib = get_lib()
     if lib is None:
         raise StreamError("native codec shim not built")
     err = ctypes.create_string_buffer(_ERRLEN)
     if lib.ffv_make_test_video(path.encode(), seconds, rate, channels,
-                               err, _ERRLEN) != 0:
+                               ts_offset, err, _ERRLEN) != 0:
         raise StreamError("test video %s: %s"
                           % (path, err.value.decode(errors="replace")))
 

@@ -1107,7 +1107,8 @@ int ffr_remux_audio(const char *in_path, const char *audio_path,
 // synthetic mpeg4+aac test clip (fixture generator for the videowmark
 // tests; this image has no video files and no ffmpeg CLI)
 int ffv_make_test_video(const char *path, double seconds, int rate,
-                        int channels, char *err, int errlen) {
+                        int channels, double ts_offset, char *err,
+                        int errlen) {
   AVFormatContext *ofmt = nullptr;
   int rc = avformat_alloc_output_context2(&ofmt, nullptr, nullptr, path);
   if (rc < 0 || !ofmt) {
@@ -1156,8 +1157,19 @@ int ffv_make_test_video(const char *path, double seconds, int rate,
   bool fail = false;
   if (!(ofmt->oformat->flags & AVFMT_NOFILE))
     fail = avio_open(&ofmt->pb, path, AVIO_FLAG_WRITE) < 0;
-  if (!fail)
-    fail = avformat_write_header(ofmt, nullptr) < 0;
+  if (!fail) {
+    // nonzero ts_offset shifts every stream's timestamps (like a TS
+    // capture whose streams do not start at zero) — used to test the
+    // remux path's A/V alignment
+    AVDictionary *mux_opts = nullptr;
+    if (ts_offset > 0) {
+      char buf[64];
+      snprintf(buf, sizeof buf, "%f", ts_offset);
+      av_dict_set(&mux_opts, "output_ts_offset", buf, 0);
+    }
+    fail = avformat_write_header(ofmt, &mux_opts) < 0;
+    av_dict_free(&mux_opts);
+  }
 
   AVPacket *pkt = av_packet_alloc();
   auto drain = [&](AVCodecContext *enc, AVStream *st,

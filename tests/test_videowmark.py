@@ -113,3 +113,22 @@ def test_videowmark_add_get(tmp_path):
                        env=env, capture_output=True, text=True, cwd=repo)
     assert r.returncode == 0, r.stdout + r.stderr
     assert PAYLOAD in r.stdout, r.stdout
+
+
+def test_remux_keeps_av_sync_nonzero_start(tmp_path):
+    """TS captures routinely start at nonzero dts; the remuxed replacement
+    audio must start at the input audio stream's start time, not at zero,
+    or playback desyncs by that offset (ffshim.cc ffr_remux_audio)."""
+    clip = str(tmp_path / "clip.ts")
+    ffshim.make_test_video(clip, 3.0, ts_offset=1.4)
+    in_start = float(ffshim.probe(clip)["start_time"])
+    assert in_start > 1.0          # the offset really applied
+
+    wav = str(tmp_path / "a.wav")
+    assert _vhelper("extract", clip, wav).returncode == 0
+    out = str(tmp_path / "out.ts")
+    r = _vhelper("remux", clip, wav, out)
+    assert r.returncode == 0, r.stderr
+
+    out_start = float(ffshim.probe(out)["start_time"])
+    assert abs(out_start - in_start) < 0.1, (in_start, out_start)
