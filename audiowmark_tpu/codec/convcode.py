@@ -223,19 +223,30 @@ def conv_decode_soft_batch(block_type: ConvBlockType,
     metric tensor stays ~150 MB."""
     generators = get_block_type_generators(block_type)
     rate = len(generators)
+    coded = np.asarray(coded_batch, dtype=np.float32)
+    B = coded.shape[0]
+    if B == 0:
+        n_msg = (coded.shape[1] // rate - ORDER) if coded.ndim == 2 else 0
+        return (np.zeros((0, max(n_msg, 0)), dtype=np.int32),
+                np.zeros(0, dtype=np.float32))
     s_table = jnp.asarray(_state_output_table(block_type))
-    coded = jnp.asarray(coded_batch, dtype=jnp.float32)
-    bits_out, errs_out = [], []
     CHUNK = 8
-    for k0 in range(0, coded.shape[0], CHUNK):
-        chunk = coded[k0:k0 + CHUNK]
-        tables = jnp.broadcast_to(s_table[None],
-                                  (chunk.shape[0],) + s_table.shape)
-        bits, errs = _viterbi_core_batch(chunk, tables, rate)
+    # pad the batch to a CHUNK multiple: a data-dependent remainder shape
+    # would recompile the trellis per candidate count
+    padded = -(-B // CHUNK) * CHUNK
+    if padded != B:
+        coded = np.concatenate(
+            [coded, np.zeros((padded - B, coded.shape[1]), np.float32)])
+    coded_j = jnp.asarray(coded)
+    tables = jnp.broadcast_to(s_table[None], (CHUNK,) + s_table.shape)
+    bits_out, errs_out = [], []
+    for k0 in range(0, padded, CHUNK):
+        bits, errs = _viterbi_core_batch(coded_j[k0:k0 + CHUNK], tables,
+                                         rate)
         bits_out.append(np.asarray(bits, dtype=np.int32))
         errs_out.append(np.asarray(errs))
-    bits = np.concatenate(bits_out, axis=0)
-    return bits[:, : bits.shape[1] - ORDER], np.concatenate(errs_out)
+    bits = np.concatenate(bits_out, axis=0)[:B]
+    return bits[:, : bits.shape[1] - ORDER], np.concatenate(errs_out)[:B]
 
 
 def conv_decode_hard(block_type: ConvBlockType, coded_bits) -> np.ndarray:

@@ -97,20 +97,26 @@ def mp3_detect(filename: str) -> bool:
     try:
         dec.open_feed()
         reads = 0
+        saw_format = False
         with open(filename, "rb") as f:
             while reads < 30:
                 rc, data = dec.read(16384)
                 if rc == mpg123.NEW_FORMAT:
+                    saw_format = True
                     continue
                 if rc == mpg123.DONE:
                     return True
                 if rc == mpg123.NEED_MORE:
                     chunk = f.read(16384)
                     if not chunk:
-                        # end of input with no decode error: the reference
-                        # returns true on MPG123_DONE, so short valid files
-                        # (< 30 reads) pass
-                        return True
+                        # end of input without a decode error: the
+                        # reference returns true on MPG123_DONE, so short
+                        # valid files (< 30 reads) pass — but only once the
+                        # decoder has locked a format (its mpg123_getformat
+                        # gate, src/mp3inputstream.cc:252-266); a file the
+                        # resync never locks onto must fall through to the
+                        # next input probe
+                        return saw_format or reads > 0
                     dec.feed(chunk)
                     continue
                 if rc != mpg123.OK:

@@ -51,6 +51,13 @@ class StreamingEmbedder:
         self.frame_number = 2 * self.frames_per_block - Params.frames_pad_start
         self.m_data_blocks = 0
         self.water_delta = Params.water_delta
+        # generator-frame budget for data-block counting, set at EOF from
+        # the reference-loop simulation (_ref_generator_frame_cap): the
+        # batched tile drain feeds zero pads past where the reference's
+        # one-frame loop stops, and boundaries in that region must not
+        # count.  None = unlimited (pre-EOF, or HLS zero_frames mode).
+        self.count_cap = None
+        self._fed = 0
 
         self.prev1 = None
         self.prev2 = None
@@ -78,8 +85,11 @@ class StreamingEmbedder:
         out, self.prev1, self.prev2 = embed_delta_frames(
             frames, mods, self.water_delta, self.prev1, self.prev2)
         t = np.arange(n_frames)
-        self.m_data_blocks += int(np.sum(
-            (self.frame_number + t + 1) % self.frames_per_block == 0))
+        hit = (self.frame_number + t + 1) % self.frames_per_block == 0
+        if self.count_cap is not None:
+            hit &= (self._fed + t) < self.count_cap
+        self.m_data_blocks += int(np.sum(hit))
+        self._fed += n_frames
         self.frame_number += n_frames
         out = np.asarray(out).transpose(0, 2, 1).reshape(-1)
         if self.first_frame:
@@ -154,6 +164,50 @@ def _ref_gen_frame_count(n_in_frames: int, no_limiter: bool,
     return k
 
 
+def _ref_generator_frame_cap(n_in_frames: int, in_rate: int,
+                             no_limiter: bool, block_size: int) -> int:
+    """Generator (44.1 kHz) frames the reference's add loop feeds before
+    it breaks, for ANY input rate: simulates the 1024-frame read loop
+    (src/wmadd.cc:520-588) through the resampler pair's exact integer
+    emission law (ops/resample.py StreamingResampler._produce, the zita
+    protocol), the 1-frame synth latency and the limiter's 1-block hold.
+    Data-block boundaries past this budget are never printed by the
+    reference, however much zero padding the tile drain feeds."""
+    mark = Params.mark_sample_rate
+    if in_rate == mark:
+        return _ref_gen_frame_count(n_in_frames, no_limiter, block_size)
+    from ..ops.resample import _filter_params
+    _, _, half_in, _ = _filter_params(mark / in_rate)
+    _, _, half_out, _ = _filter_params(in_rate / mark)
+
+    def res_out(in_total: int, half_taps: int, out_rate: int,
+                in_r: int) -> int:
+        avail = (in_total - half_taps) * out_rate
+        return (avail - 1) // in_r + 1 if avail > 0 else 0
+
+    total_in = 0
+    total_out = 0
+    it = 0
+    gen = 0
+    limit = n_in_frames // FRAME + 4096          # safety bound
+    while it < limit:
+        got = min(FRAME, n_in_frames - total_in)
+        total_in += got
+        if got < FRAME and total_in == total_out:
+            break
+        it += 1
+        out44 = res_out(it * FRAME, half_in, mark, in_rate)
+        gen = (out44 // FRAME) * FRAME           # whole generator frames
+        synth = max(gen - FRAME, 0)              # one-frame synth latency
+        back = res_out(synth, half_out, in_rate, mark)
+        if no_limiter:
+            emitted = back
+        else:
+            emitted = max(back // block_size - 1, 0) * block_size
+        total_out = min(emitted, total_in)
+    return gen // FRAME
+
+
 # files longer than this fall back to the streaming tile path (the fused
 # whole-file dispatch materializes the full spectrogram on device)
 _FAST_PATH_MAX_FRAMES = 32768          # ~12.7 min at 44.1 kHz
@@ -170,14 +224,8 @@ def _add_file_fast(embedder: StreamingEmbedder,
     import jax
     import jax.numpy as jnp
 
-    chunks = []
-    while True:
-        block = in_stream.read_frames(65536)
-        if block.size == 0:
-            break
-        chunks.append(block)
-    samples = (np.concatenate(chunks) if chunks
-               else np.zeros(0, dtype=np.float32))
+    from ..io.ffshim import drain_stream
+    samples = drain_stream(in_stream)
     n_frames_in = samples.size // n_channels
     n_out = n_frames_in * n_channels
 
@@ -342,20 +390,22 @@ def add_stream_watermark(key: Key, in_stream: AudioInputStream,
             eof = True
             if total_input_frames == total_output_frames:
                 break
-            # Drain at the reference's granularity: pad the short read only
-            # to a frame boundary, then feed ONE frame per iteration until
-            # output catches up (src/wmadd.cc:520-546 pads per 1024-frame
-            # read).  Feeding whole zero tiles here would push the generator
-            # past where the reference's loop stops and overcount the
-            # printed data blocks — for any input rate.
-            whole = max(-(-got_frames // FRAME), 1) * FRAME
-            pad_frames = whole - got_frames
-            if pad_frames:
-                samples = np.concatenate([
-                    samples,
-                    np.zeros(pad_frames * n_channels, dtype=np.float32)])
-            embedder.tile_frames = 1
-            tile_frames = 1
+            # batched drain: zero-pad to the tile so the synth/limiter
+            # tails flush in a couple of device dispatches (the extra pads
+            # produce exactly-zero delta and the output is trimmed to the
+            # input length, so the audio is unaffected); the data-block
+            # count is bounded by the reference-loop simulation so the
+            # over-feed never overcounts (src/wmadd.cc:520-546 feeds pads
+            # one frame at a time only until output catches up)
+            if embedder.count_cap is None and zero_frames == 0:
+                embedder.count_cap = _ref_generator_frame_cap(
+                    total_input_frames, in_stream.sample_rate(),
+                    bool(Params.test_no_limiter),
+                    in_stream.sample_rate()
+                    * int(Params.limiter_block_size_ms) // 1000)
+            pad_frames = tile - got_frames
+            samples = np.concatenate([
+                samples, np.zeros(pad_frames * n_channels, dtype=np.float32)])
 
         orig_fifo = np.concatenate([orig_fifo, samples])
         delta = embedder.run(samples)

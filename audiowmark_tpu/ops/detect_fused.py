@@ -52,8 +52,10 @@ class DetectorConfig:
     # chain; lower it when vmapping the detector over many streams
     candidate_batch: int = 4
     # bf16 operands for the band-restricted DFT matmuls (the MXU runs the
-    # K=1024 shape ~5.5x faster; dB error ~0.03 dB vs multi-dB margins)
-    dft_bf16: bool = True
+    # K=1024 shape ~5.5x faster; dB error ~0.03 dB vs multi-dB margins).
+    # None = bf16 on TPU, f32 elsewhere (CPU must match the CLI decode
+    # path's numerics); tests pass True to validate bf16 end-to-end on CPU
+    dft_bf16: "bool | None" = None
 
 
 def build_detector(key: Key, cfg: DetectorConfig) -> Callable:
@@ -89,7 +91,9 @@ def build_detector(key: Key, cfg: DetectorConfig) -> Callable:
     s_table_b = jnp.asarray(_state_output_table(ConvBlockType.b))
     rate_half = s_table_a.shape[1]
 
-    dftmode = 2 if cfg.dft_bf16 else 1
+    use_bf16 = (cfg.dft_bf16 if cfg.dft_bf16 is not None
+                else jax.default_backend() == "tpu")
+    dftmode = 2 if use_bf16 else 1
     n_starts = sync_ops.SHIFTS * (T - 1 - total_frames)
     if n_starts <= 0:
         raise ValueError("stream too short for one block (%d frames, "

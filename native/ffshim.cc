@@ -493,7 +493,14 @@ Encoder *enc_open(const char *path, const char *fmt_name,
     e->enc->flags |= AV_CODEC_FLAG_GLOBAL_HEADER;
   // the experimental native encoders (e.g. "opus") need explicit opt-in
   e->enc->strict_std_compliance = FF_COMPLIANCE_EXPERIMENTAL;
-  if ((rc = avcodec_open2(e->enc, codec, nullptr)) < 0) {
+  rc = avcodec_open2(e->enc, codec, nullptr);
+  if (rc < 0 && have_layout) {
+    // encoder rejected the requested layout: fall back to the default
+    av_channel_layout_uninit(&e->enc->ch_layout);
+    av_channel_layout_default(&e->enc->ch_layout, channels);
+    rc = avcodec_open2(e->enc, codec, nullptr);
+  }
+  if (rc < 0) {
     set_err(err, errlen, "encoder open failed", rc);
     delete e;
     return nullptr;
@@ -871,11 +878,17 @@ int ffr_remux_audio(const char *in_path, const char *audio_path,
   }
   AVCodecContext *enc = avcodec_alloc_context3(enc_codec);
   enc->sample_rate = enc_pick_rate(enc_codec, wav->rate);
-  // keep the source stream's channel layout when the count matches
-  if (in_audio->codecpar->ch_layout.nb_channels == wav->channels)
+  // keep the source stream's channel layout when it is fully specified
+  // and matches the channel count (an UNSPEC order or a layout the
+  // encoder rejects must not break the remux — fall back to the default)
+  bool custom_layout = false;
+  if (in_audio->codecpar->ch_layout.order != AV_CHANNEL_ORDER_UNSPEC &&
+      in_audio->codecpar->ch_layout.nb_channels == wav->channels) {
     av_channel_layout_copy(&enc->ch_layout, &in_audio->codecpar->ch_layout);
-  else
+    custom_layout = true;
+  } else {
     av_channel_layout_default(&enc->ch_layout, wav->channels);
+  }
   enc->sample_fmt = enc_pick_fmt(enc_codec);
   if (bit_rate > 0)
     enc->bit_rate = bit_rate;
@@ -883,7 +896,24 @@ int ffr_remux_audio(const char *in_path, const char *audio_path,
   if (out_fmt->oformat->flags & AVFMT_GLOBALHEADER)
     enc->flags |= AV_CODEC_FLAG_GLOBAL_HEADER;
   enc->strict_std_compliance = FF_COMPLIANCE_EXPERIMENTAL;
-  if ((rc = avcodec_open2(enc, enc_codec, nullptr)) < 0) {
+  rc = avcodec_open2(enc, enc_codec, nullptr);
+  if (rc < 0 && custom_layout) {
+    // the encoder rejected the source layout (e.g. not in its ch_layouts
+    // whitelist): retry with the default layout for the channel count
+    avcodec_free_context(&enc);
+    enc = avcodec_alloc_context3(enc_codec);
+    enc->sample_rate = enc_pick_rate(enc_codec, wav->rate);
+    av_channel_layout_default(&enc->ch_layout, wav->channels);
+    enc->sample_fmt = enc_pick_fmt(enc_codec);
+    if (bit_rate > 0)
+      enc->bit_rate = bit_rate;
+    enc->time_base = AVRational{1, enc->sample_rate};
+    if (out_fmt->oformat->flags & AVFMT_GLOBALHEADER)
+      enc->flags |= AV_CODEC_FLAG_GLOBAL_HEADER;
+    enc->strict_std_compliance = FF_COMPLIANCE_EXPERIMENTAL;
+    rc = avcodec_open2(enc, enc_codec, nullptr);
+  }
+  if (rc < 0) {
     set_err(err, errlen, "audio encoder open failed", rc);
     avcodec_free_context(&enc);
     ffs_close(wav);

@@ -82,3 +82,45 @@ def test_ref_gen_frame_count_no_limiter():
     n = 10 * FRAME
     assert _ref_gen_frame_count(n, True, 44100) == 11
     assert _ref_gen_frame_count(0, True, 44100) == 0
+
+
+def test_data_blocks_streaming_path_matches(tmp_path):
+    """The streaming tile path (batched zero drain + generator-frame cap)
+    prints the same reference count as the fast path."""
+    key = Key()
+    src = str(tmp_path / "in.wav")
+    out = str(tmp_path / "out.wav")
+    gen_noise(key, src, 120, 44100, 16)
+    saved = emb._FAST_PATH_MAX_FRAMES
+    emb._FAST_PATH_MAX_FRAMES = 0
+    try:
+        buf = io.StringIO()
+        with contextlib.redirect_stderr(buf):
+            assert emb.add_watermark(key, src, out, "f0" * 16) == 0
+    finally:
+        emb._FAST_PATH_MAX_FRAMES = saved
+    assert "Data Blocks:  2" in buf.getvalue()
+
+
+def test_data_blocks_resampled_matches_simulation(tmp_path):
+    """Resampled input: the printed count equals the boundary count within
+    the reference-loop simulation's generator budget (the tile drain must
+    not overshoot it)."""
+    from audiowmark_tpu.ops.frames import FRAME
+    from audiowmark_tpu.tables import get_key_tables
+
+    key = Key()
+    src = str(tmp_path / "in32.wav")
+    out = str(tmp_path / "out32.wav")
+    gen_noise(key, src, 75, 32000, 16)
+    buf = io.StringIO()
+    with contextlib.redirect_stderr(buf):
+        assert emb.add_watermark(key, src, out, "f0" * 16) == 0
+
+    cap = emb._ref_generator_frame_cap(
+        75 * 32000, 32000, False, 32000 * 1000 // 1000)
+    fpb = get_key_tables(key).frames_per_block
+    start = 2 * fpb - Params.frames_pad_start
+    t = np.arange(cap)
+    m = int(np.sum((start + t + 1) % fpb == 0))
+    assert ("Data Blocks:  %d" % max(m - 1, 0)) in buf.getvalue()

@@ -90,3 +90,20 @@ def test_detect_batch_finds_payload_in_all_streams(mini_geometry):
     for b in range(B):
         best = int(np.argmax(out["qualities"][b]))
         assert out["bits"][b][best].tolist() == codeword, b
+
+
+def test_fused_detector_bf16_recovers_codeword(mini_geometry):
+    """The TPU-production bf16 DFT path (dft_bf16=True forced on CPU)
+    still recovers the exact codeword at the exact position — the e2e
+    validation behind enabling bf16 by default on TPU backends."""
+    key = Key()
+    marked = _watermarked_batch(key)
+    det = jax.jit(build_detector(
+        key, DetectorConfig(n_frames=T, n_channels=C, top_k=4,
+                            dft_bf16=True)))
+    out = {k: np.asarray(v) for k, v in det(marked[0].reshape(-1)).items()}
+    codeword = short_encode_blk(parse_payload(PAYLOAD))
+    best = int(np.argmax(out["qualities"]))
+    assert abs(int(out["positions"][best])
+               - Params.frames_pad_start * FRAME) < FRAME // 2
+    assert out["bits"][best].tolist() == list(codeword)
