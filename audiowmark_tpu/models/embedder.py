@@ -235,11 +235,10 @@ def _add_file_fast(embedder: StreamingEmbedder,
 
     # int16 upload when every sample sits exactly on the 16-bit grid
     # (16-bit PCM / FLAC / 8-bit sources); halves host->device bytes
-    i16 = np.round(padded * 32768.0)
-    in_i16 = bool(np.all(np.abs(i16) <= 32767)
-                  and np.array_equal(i16.astype(np.float32) / 32768.0,
-                                     padded))
-    x = i16.astype(np.int16) if in_i16 else padded
+    from ..utils.devcache import i16_grid
+    i16 = i16_grid(padded)
+    in_i16 = i16 is not None
+    x = i16 if in_i16 else padded
 
     writer = getattr(out_stream, "writer", None)
     out_i16 = bool(writer is not None and writer.bit_depth == 16

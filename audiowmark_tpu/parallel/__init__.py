@@ -1,3 +1,2 @@
-from .mesh import (  # noqa: F401
-    make_mesh, sharded_pipeline_step, batch_embed_sharded,
-)
+from .mesh import make_mesh, batch_embed_sharded  # noqa: F401
+from .batch import watermark_batch, detect_batch  # noqa: F401

@@ -30,10 +30,7 @@ try:
 except ImportError:  # older jax
     from jax.experimental.shard_map import shard_map
 
-from ..params import Params
-from ..ops.frames import FRAME, N_BINS, analysis_window, synthesis_window
-
-_LOG2_DB = 3.01029995663981
+from ..ops.frames import FRAME, analysis_window, synthesis_window
 
 
 def make_mesh(n_devices: int = 0, dp: int = 0) -> Mesh:
@@ -78,56 +75,6 @@ def _embed_shard(frames, mods, water_delta, awin, swin):
     w2 = swin[2 * FRAME:]
     delta = nxt * w0 + iffts * w1 + prv * w2
     return frames + delta, iffts
-
-
-def _detect_shard(marked, sync_v, sync_offsets):
-    """Per-shard detect: local dB band energies, one matmul against the
-    sync band-selection matrix, all-gather along sp, gather-based score
-    sweep for this shard's slice of start positions."""
-    spec = jnp.fft.rfft(marked * jnp.asarray(analysis_window())[None, None, None, :],
-                        axis=-1)
-    spec = spec[..., Params.min_band:Params.max_band + 1]
-    abs2 = jnp.real(spec) ** 2 + jnp.imag(spec) ** 2
-    db = jnp.where(abs2 > 0, jnp.log2(abs2) * jnp.float32(_LOG2_DB),
-                   jnp.float32(-96.0))
-    S = jnp.sum(db, axis=2)                               # (B, T_local, bands)
-    D_local = jnp.einsum("btk,jk->btj", S, sync_v)        # (B, T_local, J)
-    D = jax.lax.all_gather(D_local, "sp", axis=1, tiled=True)  # (B, T, J)
-
-    T = D.shape[1]
-    n_off = sync_offsets.shape[0]
-    max_off = T - 1
-    starts = jnp.arange(D_local.shape[1]) \
-        + jax.lax.axis_index("sp") * D_local.shape[1]
-    rows = jnp.minimum(starts[:, None] + sync_offsets[None, :], max_off)
-    cols = jnp.arange(n_off)
-    g = D[:, rows, cols[None, :]]                         # (B, T_local, J)
-    score = jnp.max(jnp.sum(g, axis=2), axis=1)           # (B,)
-    return jax.lax.pmax(score, "sp")
-
-
-def sharded_pipeline_step(mesh: Mesh, samples: jnp.ndarray, mods: jnp.ndarray,
-                          sync_v: jnp.ndarray, sync_offsets: jnp.ndarray,
-                          water_delta: float):
-    """Full embed+detect step over a (dp, sp)-sharded batch of streams.
-
-    samples: (B, T, C, FRAME) frame-sliced audio; B sharded over dp, T over
-    sp.  mods: (B, T, N_BINS).  Returns per-stream detection scores (B,).
-    """
-    awin = jnp.asarray(analysis_window())
-    swin = jnp.asarray(synthesis_window())
-
-    def step(samples, mods):
-        marked, _ = _embed_shard(samples, mods, jnp.float32(water_delta),
-                                 awin, swin)
-        return _detect_shard(marked, sync_v, sync_offsets)
-
-    fn = shard_map(
-        step, mesh=mesh,
-        in_specs=(P("dp", "sp", None, None), P("dp", "sp", None)),
-        out_specs=P("dp"),
-        check_vma=False)
-    return jax.jit(fn)(samples, mods)
 
 
 def batch_embed_sharded(mesh: Mesh, samples: jnp.ndarray, mods: jnp.ndarray,

@@ -79,14 +79,26 @@ def register_padded(derived: np.ndarray, base: np.ndarray, first: int,
                     base, first, last, pad_start, pad_end)
 
 
+def i16_grid(x: np.ndarray):
+    """int16 view of `x` when every sample sits exactly on the 16-bit grid
+    (16-bit PCM sources — the common case), else None.  The int16 range is
+    [-32768, 32767]: -32768 (= -1.0 from int16 decode, the loudest negative
+    sample) must stay on the fast path."""
+    i16 = np.round(x * np.float32(32768.0))
+    if (np.all(i16 >= -32768) and np.all(i16 <= 32767)
+            and np.array_equal(i16.astype(np.float32) / 32768.0, x)):
+        return i16.astype(np.int16)
+    return None
+
+
 def device_audio(x: np.ndarray):
     """Device float32 copy of an audio buffer, cached by object identity.
 
-    When every sample sits exactly on the 16-bit grid (16-bit PCM sources —
-    the common case), the transfer goes as int16 and dequantizes on device:
-    half the bytes through a bandwidth-bound host link (the remote-TPU
-    tunnel moves ~30 MB/s up).  Buffers declared via register_padded are
-    assembled on device from their base's cached upload."""
+    When every sample sits exactly on the 16-bit grid, the transfer goes as
+    int16 and dequantizes on device: half the bytes through a bandwidth-
+    bound host link (the remote-TPU tunnel moves ~30 MB/s up).  Buffers
+    declared via register_padded are assembled on device from their base's
+    cached upload."""
     key = id(x)
     ent = _store.get(key)
     if ent is not None and ent[0]() is x:
@@ -99,12 +111,9 @@ def device_audio(x: np.ndarray):
             device_audio(base)[first:last],
             jnp.zeros(pad_end, jnp.float32)])
     else:
-        i16 = np.round(x * np.float32(32768.0))
-        if (np.all(np.abs(i16) <= 32767)
-                and np.array_equal(i16.astype(np.float32) / 32768.0, x)):
-            dev = _dequant16(jnp.asarray(i16.astype(np.int16)))
-        else:
-            dev = jnp.asarray(x)
+        i16 = i16_grid(x)
+        dev = _dequant16(jnp.asarray(i16)) if i16 is not None \
+            else jnp.asarray(x)
     _store[key] = (weakref.ref(x, lambda _r, k=key: _store.pop(k, None)),
                    dev)
     return dev
