@@ -146,30 +146,28 @@ def _viterbi_core(coded: jnp.ndarray, s_table: jnp.ndarray, rate: int):
     return bits_rev, final_err
 
 
-@partial(jax.jit, static_argnames=("rate",))
-def _viterbi_core_batch(codeds: jnp.ndarray, s_tables: jnp.ndarray,
-                        rate: int):
-    """Batched Viterbi: B sequences advance through ONE trellis.
-
-    codeds: (B, steps*rate) f32; s_tables: (B, states, rate) — per-sequence
-    generator tables, so A- and B-block decodes share one launch.  On TPU
-    the whole batch runs as a single Pallas grid of `steps` (the B
-    candidates x 2 block types would otherwise serialize 2B kernels of
-    `steps` sequential grid iterations each).  Bit-exact with per-sequence
-    _viterbi_core (tests/test_codec.py)."""
+def _batch_branch_metrics(codeds: jnp.ndarray,
+                          s_tables: jnp.ndarray) -> jnp.ndarray:
+    """bm[b, t, s] = sum_p (c[b,t,p] - S[b,s,p])^2 via one matmul."""
     B = codeds.shape[0]
-    steps = codeds.shape[1] // rate
-    c = codeds.reshape(B, steps, rate)
+    rate = s_tables.shape[2]
+    c = codeds.reshape(B, -1, rate)
     c_sq = jnp.sum(c * c, axis=2, keepdims=True)              # (B, steps, 1)
     s_sum = jnp.sum(s_tables, axis=2)[:, None, :]             # (B, 1, states)
-    bm = c_sq - 2.0 * jnp.einsum("bsr,bkr->bsk", c, s_tables,
-                                 preferred_element_type=jnp.float32) + s_sum
+    return c_sq - 2.0 * jnp.einsum("bsr,bkr->bsk", c, s_tables,
+                                   preferred_element_type=jnp.float32) + s_sum
 
+
+def _trellis_from_bm(bm: jnp.ndarray, n_coded: jnp.ndarray):
+    """Shared batched ACS + traceback from precomputed branch metrics.
+
+    bm: (B, steps, STATE_COUNT); n_coded: (B,) divisor for the per-bit
+    error normalization (steps*rate of each row's code)."""
+    B = bm.shape[0]
     if jax.default_backend() == "tpu":
         from ..ops.viterbi_pallas import viterbi_acs_pallas_batch
         decisions, metrics = viterbi_acs_pallas_batch(bm)
-        final_err = metrics.reshape(B, -1)[:, 0] / jnp.float32(
-            codeds.shape[1])
+        final_err = metrics.reshape(B, -1)[:, 0] / n_coded
         dec_t_major = jnp.swapaxes(decisions, 0, 1)   # (steps, B, states)
     else:
         init = jnp.full((B, STATE_COUNT), _BIG,
@@ -185,7 +183,7 @@ def _viterbi_core_batch(codeds: jnp.ndarray, s_tables: jnp.ndarray,
 
         final_metric, dec_t_major = jax.lax.scan(
             acs_step, init, jnp.swapaxes(bm, 0, 1))
-        final_err = final_metric[:, 0] / jnp.float32(codeds.shape[1])
+        final_err = final_metric[:, 0] / n_coded
 
     def traceback_step(state, dec_t):                 # state (B,)
         bit = state & 1
@@ -197,6 +195,65 @@ def _viterbi_core_batch(codeds: jnp.ndarray, s_tables: jnp.ndarray,
     _, bits_rev = jax.lax.scan(traceback_step, jnp.zeros(B, jnp.int32),
                                dec_t_major, reverse=True)
     return jnp.swapaxes(bits_rev, 0, 1), final_err
+
+
+@partial(jax.jit, static_argnames=("rate",))
+def _viterbi_core_batch(codeds: jnp.ndarray, s_tables: jnp.ndarray,
+                        rate: int):
+    """Batched Viterbi: B sequences advance through ONE trellis.
+
+    codeds: (B, steps*rate) f32; s_tables: (B, states, rate) — per-sequence
+    generator tables, so A- and B-block decodes share one launch.  On TPU
+    the whole batch runs as a single Pallas grid of `steps` (the B
+    candidates x 2 block types would otherwise serialize 2B kernels of
+    `steps` sequential grid iterations each).  Bit-exact with per-sequence
+    _viterbi_core (tests/test_codec.py)."""
+    bm = _batch_branch_metrics(codeds, s_tables)
+    n_coded = jnp.full((codeds.shape[0],), codeds.shape[1], jnp.float32)
+    return _trellis_from_bm(bm, n_coded)
+
+
+@jax.jit
+def _viterbi_mixed_core(codeds: tuple, s_tables: tuple):
+    """Mixed-rate batched Viterbi: groups with DIFFERENT generator sets and
+    rates (a/b at rate 6, ab at rate 12) share ONE trellis launch — branch
+    metrics are computed per group, then every sequence advances through
+    the same `steps`-long grid (the step count (msg+order) is rate-
+    independent, src/convcode.cc:65-75)."""
+    bms = []
+    n_coded = []
+    for c, st in zip(codeds, s_tables):
+        bms.append(_batch_branch_metrics(
+            c, jnp.broadcast_to(st[None], (c.shape[0],) + st.shape)))
+        n_coded.append(jnp.full((c.shape[0],), c.shape[1], jnp.float32))
+    return _trellis_from_bm(jnp.concatenate(bms, axis=0),
+                            jnp.concatenate(n_coded))
+
+
+def conv_decode_soft_mixed(groups):
+    """ONE trellis launch for a mixed list of (block_type, coded (B_i, n_i))
+    groups (equal step counts).  Returns list of (bits (B_i, n_msg_i),
+    errs (B_i,)) per group, semantics identical to conv_decode_soft_batch
+    per group."""
+    if not groups:
+        return []
+    steps = {c.shape[1] // len(get_block_type_generators(bt))
+             for bt, c in groups}
+    assert len(steps) == 1, "mixed decode requires equal step counts"
+    codeds = tuple(jnp.asarray(np.asarray(c, dtype=np.float32))
+                   for _, c in groups)
+    s_tables = tuple(jnp.asarray(_state_output_table(bt))
+                     for bt, _ in groups)
+    bits, errs = _viterbi_mixed_core(codeds, s_tables)
+    bits = np.asarray(bits, dtype=np.int32)
+    errs = np.asarray(errs)
+    out = []
+    k = 0
+    for _, c in groups:
+        b = bits[k:k + c.shape[0]]
+        out.append((b[:, : b.shape[1] - ORDER], errs[k:k + c.shape[0]]))
+        k += c.shape[0]
+    return out
 
 
 def conv_decode_soft(block_type: ConvBlockType, coded_bits,

@@ -136,11 +136,13 @@ def _block_raw_batch(samples: np.ndarray, n_channels: int,
         tables, ("decode_layout", bool(Params.mix), Params.min_band,
                  Params.bands_per_frame, Params.frames_per_bit),
         build_layout)
-    raws = np.asarray(_block_raw_batch_dev(
-        x_dev, jnp.asarray(idx), device_array(analysis_window()),
-        device_array(_dft_matrix()), lay_frame, lay_up, lay_dn, frame_count,
-        dft_mode(), bool(Params.mix), group,
-        Params.frames_per_bit))
+    from ..utils import prof
+    with prof.phase("get.block_raw"):
+        raws = np.asarray(_block_raw_batch_dev(
+            x_dev, jnp.asarray(idx), device_array(analysis_window()),
+            device_array(_dft_matrix()), lay_frame, lay_up, lay_dn,
+            frame_count, dft_mode(), bool(Params.mix), group,
+            Params.frames_per_bit))
     return {i: raws[k].astype(np.float32) for k, i in enumerate(valid)}
 
 
@@ -191,9 +193,11 @@ def normalize_soft_bits(soft_bits: np.ndarray) -> np.ndarray:
 # ---- block decoder -----------------------------------------------------------
 
 class _DecodeJobs:
-    """Queue of soft-bit Viterbi decodes, executed batched per block type
-    (the reference runs these on its thread pool; here each group is one
-    vmap'd lax.scan)."""
+    """Queue of soft-bit Viterbi decodes (the reference runs these on its
+    thread pool).  All block types flush in ONE batched trellis launch —
+    a/b/ab groups have equal step counts, so their branch metrics concat
+    into a single grid (convcode.conv_decode_soft_mixed).  Short payloads
+    keep the per-type path (the exhaustive codeword match differs)."""
 
     def __init__(self):
         self.jobs = []
@@ -202,15 +206,48 @@ class _DecodeJobs:
         self.jobs.append((block_type, soft_bits, emit))
 
     def flush(self):
+        if not self.jobs:
+            return
+        from ..utils import prof
+        with prof.phase("get.viterbi"):
+            self._flush_inner()
+
+    def _flush_inner(self):
+        if Params.payload_short:
+            for bt in (ConvBlockType.a, ConvBlockType.b, ConvBlockType.ab):
+                group = [(soft, emit) for t, soft, emit in self.jobs
+                         if t == bt]
+                if not group:
+                    continue
+                batch = np.stack([soft for soft, _ in group])
+                for (bits, err), (_, emit) in zip(
+                        code_decode_soft_batch(bt, batch), group):
+                    if len(bits):
+                        emit(bits, err)
+            self.jobs = []
+            return
+
+        from ..codec.convcode import conv_decode_soft_mixed
+        groups = []
+        emits = []
         for bt in (ConvBlockType.a, ConvBlockType.b, ConvBlockType.ab):
             group = [(soft, emit) for t, soft, emit in self.jobs if t == bt]
             if not group:
                 continue
             batch = np.stack([soft for soft, _ in group])
-            for (bits, err), (_, emit) in zip(
-                    code_decode_soft_batch(bt, batch), group):
-                if len(bits):
-                    emit(bits, err)
+            # pad each group to a multiple of 4 rows: bounds the number of
+            # compiled (B_a, B_b, B_ab) shape combinations
+            pad = -len(group) % 4
+            if pad:
+                batch = np.concatenate(
+                    [batch, np.zeros((pad, batch.shape[1]), np.float32)])
+            groups.append((bt, batch))
+            emits.append([emit for _, emit in group])
+        for (bits, errs), group_emits in zip(conv_decode_soft_mixed(groups),
+                                             emits):
+            for i, emit in enumerate(group_emits):
+                if bits.shape[1]:
+                    emit(bits[i], float(errs[i]))
         self.jobs = []
 
 

@@ -225,7 +225,9 @@ def _add_file_fast(embedder: StreamingEmbedder,
     import jax.numpy as jnp
 
     from ..io.ffshim import drain_stream
-    samples = drain_stream(in_stream)
+    from ..utils import prof
+    with prof.phase("add.read"):
+        samples = drain_stream(in_stream)
     n_frames_in = samples.size // n_channels
     n_out = n_frames_in * n_channels
 
@@ -250,14 +252,15 @@ def _add_file_fast(embedder: StreamingEmbedder,
 
     block_size = Params.mark_sample_rate \
         * int(Params.limiter_block_size_ms) // 1000
-    out = _add_file_core(
-        jnp.asarray(x), jnp.asarray(mods),
-        jnp.float32(embedder.water_delta),
-        jnp.asarray(analysis_window()), jnp.asarray(synthesis_window()),
-        jnp.float32(Params.limiter_ceiling),
-        G, n_channels, n_out, bool(Params.test_no_limiter), in_i16,
-        out_i16, block_size)
-    out = np.asarray(out)
+    with prof.phase("add.device"):
+        out = _add_file_core(
+            jnp.asarray(x), jnp.asarray(mods),
+            jnp.float32(embedder.water_delta),
+            jnp.asarray(analysis_window()), jnp.asarray(synthesis_window()),
+            jnp.float32(Params.limiter_ceiling),
+            G, n_channels, n_out, bool(Params.test_no_limiter), in_i16,
+            out_i16, block_size)
+        out = np.asarray(out)
     if out_i16:
         out = out.astype(np.float32) / 32768.0   # exact writer round trip
 
@@ -270,7 +273,8 @@ def _add_file_fast(embedder: StreamingEmbedder,
         (embedder.frame_number + t + 1) % embedder.frames_per_block == 0))
     embedder.frame_number += G
 
-    out_stream.write_frames(out)
+    with prof.phase("add.write"):
+        out_stream.write_frames(out)
     return n_frames_in
 
 

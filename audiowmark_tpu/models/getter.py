@@ -75,11 +75,13 @@ def get_watermark(key_list: List[Key], infile: str, orig_pattern: str) -> int:
             return 1
         orig_bitvec = list(parsed)
 
+    from ..utils import prof
     first_chunk = True
     loader = WavChunkLoader(infile)
     while not loader.done():
         try:
-            loader.load_next_chunk()
+            with prof.phase("get.load"):
+                loader.load_next_chunk()
         except (StreamError, OSError) as e:
             error("audiowmark: error loading %s: %s\n" % (infile, e))
             return 1

@@ -137,9 +137,106 @@ def _fake_sync(key_list: List[Key], wav_data, mode: SyncMode) -> List[KeyResult]
 
 
 def search(key_list: List[Key], wav_data, mode: SyncMode) -> List[KeyResult]:
+    """Candidate block starts per key.  Production path: the fused single-
+    dispatch search kernel (ops/search_fused.py) with the exact selection
+    semantics applied to its fetched (K,) outputs; falls back to the staged
+    multi-dispatch path when the candidate slots saturate or the stream is
+    too short for the kernel."""
     if Params.test_no_sync:
         return _fake_sync(key_list, wav_data, mode)
 
+    from ..utils import prof
+    results: List[KeyResult] = []
+    with prof.phase("get.search_%s" % mode.name.lower()):
+        for key in key_list:
+            r = _search_fused_one(key, wav_data, mode)
+            if r is None:
+                return search_staged(key_list, wav_data, mode)
+            results.append(r)
+    return results
+
+
+def _search_fused_one(key: Key, wav_data, mode: SyncMode):
+    """One-dispatch search for one key; None -> caller uses the staged path
+    (slot saturation: more candidates above the approx threshold than the
+    kernel's fixed top-K captured)."""
+    import jax.numpy as jnp
+
+    from ..ops import search_fused
+    from ..utils.devcache import device_audio
+
+    samples = wav_data.samples
+    n_channels = wav_data.n_channels
+    true_frames = samples.size // n_channels
+    F = true_frames // Params.frame_size
+    tables = get_key_tables(key)
+    clip = mode == SyncMode.CLIP
+    sync_bits = sync_ops.build_sync_bits(tables, clip)
+    n_starts_true = sync_ops.SHIFTS * (F - 1 - sync_bits.total_frames)
+    if n_starts_true <= 0:
+        return KeyResult(key=key)
+
+    T = search_fused.bucket_frames(F)
+    n_starts_s = sync_ops.SHIFTS * (T - 1 - sync_bits.total_frames)
+    K = min(n_starts_s,
+            max(search_fused.top_k_for(T, tables.frames_per_block),
+                -(-max(Params.get_n_best, 1) // 8) * 8))
+    searcher = search_fused.build_searcher(tables, clip, T,
+                                           n_channels, K)
+    if searcher is None:
+        return None
+
+    if clip:
+        sil_first, sil_last = _scan_silence(samples)
+    else:
+        sil_first, sil_last = 0, samples.size
+
+    x = device_audio(samples).reshape(-1, n_channels)
+    pad_rows = T * Params.frame_size - x.shape[0]
+    if pad_rows:
+        x = jnp.concatenate(
+            [x, jnp.zeros((pad_rows, n_channels), jnp.float32)])
+
+    out = searcher(x, np.int32(n_starts_true), np.int32(true_frames),
+                   np.int32(sil_first), np.int32(sil_last))
+    elig = np.asarray(out["eligible"])
+    n_el = int(np.count_nonzero(elig))
+    q = np.asarray(out["q"], dtype=np.float64)[:n_el]
+    mean = np.asarray(out["mean"], dtype=np.float64)[:n_el]
+    rpos = np.asarray(out["refined_pos"])[:n_el]
+    rq = np.asarray(out["refined_q"], dtype=np.float64)[:n_el]
+
+    # approx threshold/n-best truncation (the kernel's top-K slots are
+    # quality-descending with index tie order, exactly the host ordering)
+    aq = np.abs(q - mean)
+    n_above = int(np.count_nonzero(aq > Params.sync_threshold2 * 0.75))
+    if n_el == K and n_above == K:
+        return None          # slots saturated: candidates may be missing
+    keep = n_above if n_above >= Params.get_n_best \
+        else min(Params.get_n_best, n_el)
+    if clip:
+        keep = min(keep, max(Params.get_n_best, 5))
+
+    refined = [_SearchScore(index=int(rpos[i]), raw_quality=float(rq[i]),
+                            local_mean=float(mean[i]))
+               for i in range(keep)]
+    refined.sort(key=lambda s: s.index)
+    refined = _select_threshold_and_n_best(refined, Params.sync_threshold2)
+    refined.sort(key=lambda s: s.index)
+
+    result = KeyResult(key=key)
+    for s in refined:
+        qd = s.raw_quality - s.local_mean
+        result.sync_scores.append(Score(
+            index=s.index, quality=abs(qd),
+            block_type=ConvBlockType.a if qd > 0 else ConvBlockType.b))
+    return result
+
+
+def search_staged(key_list: List[Key], wav_data,
+                  mode: SyncMode) -> List[KeyResult]:
+    """Multi-dispatch reference path (oracle for the fused kernel and the
+    saturation fallback)."""
     samples = wav_data.samples
     n_channels = wav_data.n_channels
     if mode == SyncMode.CLIP:

@@ -173,13 +173,15 @@ def build_detector(key: Key, cfg: DetectorConfig) -> Callable:
                                                        axis=1)
             )(span_starts)                                 # (J, C, _SPAN)
             flat = spans.reshape(J * C, _SPAN)
-            specs = [
-                sync_ops.band_dot(
-                    jax.lax.slice_in_dim(flat, _SUB * k,
-                                         _SUB * k + FRAME, axis=1),
-                    dftm, dftmode)
-                for k in range(N_REFINE)]
-            fs = jnp.stack(specs, axis=1)                  # (J*C, 65, 2NB)
+            # ONE stacked matmul for all 65 fine windows (was 65 separate
+            # band_dot calls serializing small MXU ops)
+            W = jnp.stack(
+                [jax.lax.slice_in_dim(flat, _SUB * k, _SUB * k + FRAME,
+                                      axis=1) for k in range(N_REFINE)],
+                axis=1)                                    # (J*C, 65, FRAME)
+            fs = sync_ops.band_dot(
+                W.reshape(J * C * N_REFINE, FRAME), dftm, dftmode
+            ).reshape(J * C, N_REFINE, 2 * n_bands)        # (J*C, 65, 2NB)
             fa2 = fs[..., :n_bands] ** 2 + fs[..., n_bands:] ** 2
             fdb = jnp.where(fa2 > 0, jnp.log2(fa2) * jnp.float32(_LOG2_DB),
                             jnp.float32(MIN_DB))

@@ -98,6 +98,8 @@ def _build_searcher(tables: KeyTables, clip_mode: bool, T: int, C: int,
     if dft_bf16 is True:
         use_dft = 2
     dftm = jnp.asarray(_dft_matrix())
+    from .frames import analysis_window
+    awin = jnp.asarray(analysis_window())
     V = jnp.asarray(sync_bits.v)                    # (2*6*n_pos, N_BANDS)
     frames_j = jnp.asarray(frames_flat)
     step = Params.sync_search_step
@@ -125,10 +127,16 @@ def _build_searcher(tables: KeyTables, clip_mode: bool, T: int, C: int,
                          0.0) * norm
 
     def spec_db(flat):
-        """(R, FRAME) windows -> (R, N_BANDS) dB via the band-restricted
-        DFT matmul (window folded into dftm)."""
-        spec = band_dot(flat, dftm, use_dft)
-        a2 = spec[:, :N_BANDS] ** 2 + spec[:, N_BANDS:] ** 2
+        """(R, FRAME) windows -> (R, N_BANDS) dB; TPU: one band-restricted
+        DFT matmul (window folded into dftm) on the MXU; CPU: rfft (the
+        staged path's CPU numerics)."""
+        if use_dft:
+            spec = band_dot(flat, dftm, use_dft)
+            a2 = spec[:, :N_BANDS] ** 2 + spec[:, N_BANDS:] ** 2
+        else:
+            s = jnp.fft.rfft(flat * awin[None, :], axis=-1)
+            s = s[:, Params.min_band:Params.max_band + 1]
+            a2 = jnp.real(s) ** 2 + jnp.imag(s) ** 2
         return jnp.where(a2 > 0, jnp.log2(a2) * jnp.float32(_LOG2_DB),
                          jnp.float32(MIN_DB))
 

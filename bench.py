@@ -214,10 +214,12 @@ def bench_batch_detect():
 
 def bench_production():
     """Wall-clock the real add_watermark + get_watermark API, host
-    orchestration included, on a 120 s noise buffer (files on /dev/shm)."""
+    orchestration included, on a 120 s noise buffer (files on /dev/shm).
+    Returns (realtime_factor, add_s, get_s, phase_breakdown)."""
     from audiowmark_tpu.cli import test_gen_noise
     from audiowmark_tpu.models.embedder import add_watermark
     from audiowmark_tpu.models.getter import get_watermark
+    from audiowmark_tpu.utils import prof
 
     tmp = "/dev/shm" if os.path.isdir("/dev/shm") else "/tmp"
     infile = os.path.join(tmp, "bench_in.wav")
@@ -230,58 +232,151 @@ def bench_production():
     def run_once():
         buf = io.StringIO()
         with contextlib.redirect_stdout(buf):
+            t0 = time.monotonic()
             rc_a = add_watermark(key, infile, outfile, payload)
+            t1 = time.monotonic()
             rc_g = get_watermark([key], outfile, payload)
+            t2 = time.monotonic()
         assert rc_a == 0 and rc_g == 0, buf.getvalue()
+        return t1 - t0, t2 - t1
 
     run_once()                   # warm caches/compiles
     run_once()                   # second warm pass: first one still compiles
     # median-of-iterations: the remote-TPU tunnel has multi-second latency
     # spikes; the median is the honest steady-state while a mean is hostage
     # to one stall
+    prof.enabled = True
+    prof.reset()
     times = []
     for _ in range(3):
         t0 = time.monotonic()
-        run_once()
-        times.append(time.monotonic() - t0)
-        print("prod_iter_s=%.2f" % times[-1], file=sys.stderr)
+        add_s, get_s = run_once()
+        times.append((time.monotonic() - t0, add_s, get_s))
+        print("prod_iter_s=%.2f (add %.2f get %.2f)" % times[-1],
+              file=sys.stderr)
+    prof.enabled = False
+    phases = {k: round(v["s"] / len(times), 3)
+              for k, v in prof.report().items()}    # mean seconds/iteration
     for f in (infile, outfile):
         try:
             os.remove(f)
         except OSError:
             pass
-    return AUDIO_SECONDS / sorted(times)[len(times) // 2]
+    med = sorted(times)[len(times) // 2]
+    return AUDIO_SECONDS / med[0], med[1], med[2], phases
 
 
-def bench_io_floor():
+def bench_io_floor(n_probes: int = 5):
     """Hard transport ceiling of the production file API on this host link:
     the audio must cross host<->device at least 3x (add upload, add download,
     get upload), as int16 when the sample grid allows.  Through the remote
-    TPU tunnel (~30 MB/s up, ~14 MB/s down) this — not compute — bounds the
-    production realtime factor."""
-    probe = np.zeros(4 << 20, dtype=np.int16)          # 8 MB
+    TPU tunnel this — not compute — bounds the production realtime factor.
+
+    Median of `n_probes` probes each way, probe sized at the ACTUAL audio
+    payload (the link speed swings 2-3x between runs; a single 8 MB sample
+    made production_pct_of_io_floor untrustworthy).  Returns
+    (floor_factor, up_mbs, down_mbs, spread) where spread is
+    (up_min, up_max, down_min, down_max) in MB/s."""
+    audio_bytes = AUDIO_SECONDS * RATE * N_CHANNELS * 2    # int16
+    probe = np.zeros(audio_bytes // 2, dtype=np.int16)
     g = jax.jit(lambda v: v + 1)
     d = jax.device_put(probe)
     float(d[0])        # block_until_ready does not reliably synchronize
-    t0 = time.monotonic()
-    d2 = jax.device_put(probe)
-    float(d2[0])       # scalar fetch forces the upload to have completed
-    up_bw = probe.nbytes / (time.monotonic() - t0)
-    float(g(d)[0])
-    t0 = time.monotonic()
-    np.asarray(g(d))
-    down_bw = probe.nbytes / (time.monotonic() - t0)
-    audio_bytes = AUDIO_SECONDS * RATE * N_CHANNELS * 2    # int16
+    ups, downs = [], []
+    for _ in range(n_probes):
+        t0 = time.monotonic()
+        d2 = jax.device_put(probe)
+        float(d2[0])   # scalar fetch forces the upload to have completed
+        ups.append(probe.nbytes / (time.monotonic() - t0))
+        r = g(d)
+        float(r[0])    # compute done; timing below is transfer only
+        t0 = time.monotonic()
+        np.asarray(r)
+        downs.append(probe.nbytes / (time.monotonic() - t0))
+    up_bw = sorted(ups)[len(ups) // 2]
+    down_bw = sorted(downs)[len(downs) // 2]
     floor_s = 2 * audio_bytes / up_bw + audio_bytes / down_bw
-    return AUDIO_SECONDS / floor_s, up_bw / 1e6, down_bw / 1e6
+    spread = (min(ups) / 1e6, max(ups) / 1e6,
+              min(downs) / 1e6, max(downs) / 1e6)
+    return AUDIO_SECONDS / floor_s, up_bw / 1e6, down_bw / 1e6, spread
+
+
+def bench_detect_speed():
+    """detect_speed wall-clock on TPU: a 60 s watermarked clip slowed to
+    0.9764, full 3-scan grid (the reference's costliest path,
+    src/wmspeed.cc:635-673).  Returns (seconds, detected_speed)."""
+    import contextlib as _ctx
+
+    from audiowmark_tpu.cli import test_gen_noise
+    from audiowmark_tpu.io.wavdata import WavData
+    from audiowmark_tpu.models.embedder import add_watermark
+    from audiowmark_tpu.models.speed import detect_speed
+    from audiowmark_tpu.ops.resample import resample_ratio
+
+    tmp = "/dev/shm" if os.path.isdir("/dev/shm") else "/tmp"
+    infile = os.path.join(tmp, "bench_sp_in.wav")
+    outfile = os.path.join(tmp, "bench_sp_wm.wav")
+    key = Key()
+    test_gen_noise(key, infile, 60, RATE, 16)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        assert add_watermark(key, infile, outfile,
+                             "f0f0f0f0f0f0f0f0f0f0f0f0f0f0f0f0") == 0
+    wav = WavData.load(outfile)
+    speed = 0.9764
+    slowed = resample_ratio(wav, 1.0 / speed, RATE)
+    with _ctx.redirect_stdout(io.StringIO()):
+        detect_speed([key], slowed, False)     # warm compiles
+        t0 = time.monotonic()
+        results = detect_speed([key], slowed, False)
+        elapsed = time.monotonic() - t0
+    for f in (infile, outfile):
+        try:
+            os.remove(f)
+        except OSError:
+            pass
+    return elapsed, results[0][1] if results else 0.0
+
+
+def bench_chunked_get(minutes: int = 32):
+    """Production chunked decode over a >30-min file: exercises
+    WavChunkLoader's overlapped 30-min chunks end-to-end
+    (src/wavchunkloader.cc:74-97).  Returns realtime factor."""
+    from audiowmark_tpu.cli import test_gen_noise
+    from audiowmark_tpu.models.embedder import add_watermark
+    from audiowmark_tpu.models.getter import get_watermark
+
+    tmp = "/dev/shm" if os.path.isdir("/dev/shm") else "/tmp"
+    infile = os.path.join(tmp, "bench_long_in.wav")
+    outfile = os.path.join(tmp, "bench_long_wm.wav")
+    secs = minutes * 60
+    key = Key()
+    test_gen_noise(key, infile, secs, RATE, 16)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        assert add_watermark(key, infile, outfile,
+                             "f0f0f0f0f0f0f0f0f0f0f0f0f0f0f0f0") == 0
+        t0 = time.monotonic()
+        rc = get_watermark([key], outfile,
+                           "f0f0f0f0f0f0f0f0f0f0f0f0f0f0f0f0")
+        elapsed = time.monotonic() - t0
+    assert rc == 0, buf.getvalue()
+    for f in (infile, outfile):
+        try:
+            os.remove(f)
+        except OSError:
+            pass
+    return secs / elapsed
 
 
 def main():
     # production first: the sustained fused phase can throttle the remote
     # tunnel for a while, and the io floor should be sampled adjacent to
     # the production runs it contextualizes
-    io_floor_factor, up_mbs, down_mbs = bench_io_floor()
-    prod_factor = bench_production()
+    io_floor_factor, up_mbs, down_mbs, spread = bench_io_floor()
+    prod_factor, add_s, get_s, phases = bench_production()
+    speed_s, speed_val = bench_detect_speed()
+    chunked_factor = bench_chunked_get()
     fused_factor, compile_s, mfu = bench_fused()
     batch_factor = bench_batch_detect()
     result = {
@@ -296,6 +391,7 @@ def main():
         result["fused_mfu"] = round(mfu, 4)
     result["io_floor_factor"] = round(io_floor_factor, 1)
     result["link_mb_s"] = [round(up_mbs, 1), round(down_mbs, 1)]
+    result["link_mb_s_spread"] = [round(v, 1) for v in spread]
     # the file API must move the audio over the host link 3x; through the
     # remote-TPU tunnel that bound (io_floor_factor) — not compute — caps
     # the production number.  This ratio shows how close the implementation
@@ -303,12 +399,21 @@ def main():
     # >10000x.
     result["production_pct_of_io_floor"] = round(
         100.0 * prod_factor / io_floor_factor, 1)
+    result["prod_add_s"] = round(add_s, 2)
+    result["prod_get_s"] = round(get_s, 2)
+    result["prod_phases_s"] = phases       # mean seconds per iteration
+    result["detect_speed_s"] = round(speed_s, 2)
+    result["detect_speed_value"] = round(speed_val, 4)
+    result["chunked_get_factor"] = round(chunked_factor, 1)
     result["batch_detect_factor"] = round(batch_factor, 1)
     print(json.dumps(result))
-    print("compile_s=%.1f fused=%.0fx production=%.0fx batch=%.0fx "
+    print("compile_s=%.1f fused=%.0fx production=%.0fx (add %.1fs get %.1fs)"
+          " batch=%.0fx chunked=%.0fx speed=%.1fs "
           "mfu=%.4f io_floor=%.0fx (link %.0f/%.0f MB/s)"
-          % (compile_s, fused_factor, prod_factor, batch_factor, mfu,
+          % (compile_s, fused_factor, prod_factor, add_s, get_s,
+             batch_factor, chunked_factor, speed_s, mfu,
              io_floor_factor, up_mbs, down_mbs), file=sys.stderr)
+    print("phases: %s" % json.dumps(phases), file=sys.stderr)
 
 
 if __name__ == "__main__":

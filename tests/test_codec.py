@@ -132,3 +132,27 @@ def test_shortcode_min_distance_sample():
             continue
         cw = (m @ mat) & 1
         assert cw.sum() >= 22
+
+
+def test_mixed_decode_matches_per_type_batches():
+    """conv_decode_soft_mixed (a/b/ab in ONE trellis launch) must be
+    bit-exact with the per-type batched decodes."""
+    from audiowmark_tpu.codec.convcode import (conv_decode_soft_batch,
+                                               conv_decode_soft_mixed,
+                                               conv_encode)
+    rng = np.random.RandomState(11)
+    groups = []
+    for bt, n in ((ConvBlockType.a, 3), (ConvBlockType.b, 2),
+                  (ConvBlockType.ab, 1)):
+        rows = []
+        for _ in range(n):
+            bits = rng.randint(0, 2, 128)
+            coded = conv_encode(bt, bits).astype(np.float32)
+            noisy = np.clip(coded + rng.randn(coded.size) * 0.3, 0, 1)
+            rows.append(noisy)
+        groups.append((bt, np.stack(rows).astype(np.float32)))
+    mixed = conv_decode_soft_mixed(groups)
+    for (bt, batch), (bits_m, errs_m) in zip(groups, mixed):
+        bits_s, errs_s = conv_decode_soft_batch(bt, batch)
+        assert np.array_equal(bits_m, bits_s)
+        np.testing.assert_allclose(errs_m, errs_s, rtol=1e-6)
