@@ -265,9 +265,14 @@ class BlockDecoder:
         self.debug_sync_frame_count = 0
         self.key_results: List[syncfinder.KeyResult] = []
 
-    def run(self, key_list: List[Key], wav_data, result_set: ResultSet):
-        self.key_results = syncfinder.search(key_list, wav_data,
-                                             SyncMode.BLOCK)
+    def run(self, key_list: List[Key], wav_data, result_set: ResultSet,
+            sync_results: List[syncfinder.KeyResult] = None):
+        """sync_results: precomputed BLOCK KeyResults (the multi-chip chunk
+        group path searches many chunks in one sharded dispatch and hands
+        each chunk's results in here); None -> search now."""
+        self.key_results = (sync_results if sync_results is not None
+                            else syncfinder.search(key_list, wav_data,
+                                                   SyncMode.BLOCK))
         n_channels = wav_data.n_channels
         samples = wav_data.samples
 

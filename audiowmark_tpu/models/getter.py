@@ -18,7 +18,7 @@ from .resultset import ResultSet
 
 
 def _decode(result_set: ResultSet, key_list: List[Key], wav_data: WavData,
-            orig_bits, first_chunk: bool):
+            orig_bits, first_chunk: bool, block_sync=None):
     if Params.detect_speed or Params.detect_speed_patient or Params.try_speed > 0:
         from .speed import detect_speed
         if Params.detect_speed or Params.detect_speed_patient:
@@ -37,7 +37,7 @@ def _decode(result_set: ResultSet, key_list: List[Key], wav_data: WavData,
                 clip_decoder.run([key], wav_speed, result_set)
 
     block_decoder = BlockDecoder(1)
-    block_decoder.run(key_list, wav_data, result_set)
+    block_decoder.run(key_list, wav_data, result_set, sync_results=block_sync)
 
     if first_chunk:
         clip_decoder = ClipDecoder(1)
@@ -76,24 +76,50 @@ def get_watermark(key_list: List[Key], infile: str, orig_pattern: str) -> int:
         orig_bitvec = list(parsed)
 
     from ..utils import prof
+    from .syncfinder import group_device_count, search_block_group
+
+    # multi-chip: with >1 device and no speed handling, chunks of a long
+    # file are searched in device-parallel groups (one sharded dispatch
+    # covers group_cap chunks); decode semantics per chunk are unchanged.
+    group_cap = 1
+    if not (Params.detect_speed or Params.detect_speed_patient
+            or Params.try_speed > 0):
+        group_cap = group_device_count()
+
     first_chunk = True
     loader = WavChunkLoader(infile)
     while not loader.done():
-        try:
-            with prof.phase("get.load"):
-                loader.load_next_chunk()
-        except (StreamError, OSError) as e:
-            error("audiowmark: error loading %s: %s\n" % (infile, e))
-            return 1
-
-        if not loader.done():
+        chunks = []           # [(wav_data snapshot, time_offset)]
+        budget = 500_000_000  # samples held at once (~2 GB f32)
+        while not loader.done() and len(chunks) < group_cap:
+            try:
+                with prof.phase("get.load"):
+                    loader.load_next_chunk()
+            except (StreamError, OSError) as e:
+                error("audiowmark: error loading %s: %s\n" % (infile, e))
+                return 1
+            if loader.done():
+                break
             wav_data = loader.wav_data()
             assert wav_data.sample_rate == Params.mark_sample_rate
+            budget -= wav_data.samples.size
+            chunks.append((wav_data.with_samples(wav_data.samples),
+                           loader.time_offset()))
+            if budget <= 0:
+                break
 
+        presearched = None
+        if len(chunks) > 1:
+            with prof.phase("get.search_group"):
+                presearched = search_block_group(
+                    key_list, [w for w, _ in chunks])
+
+        for i, (wav_data, time_offset) in enumerate(chunks):
             chunk_result_set = ResultSet()
             _decode(chunk_result_set, key_list, wav_data, orig_bitvec,
-                    first_chunk)
-            chunk_result_set.apply_time_offset(loader.time_offset())
+                    first_chunk,
+                    block_sync=presearched[i] if presearched else None)
+            chunk_result_set.apply_time_offset(time_offset)
             result_set.merge(chunk_result_set)
             first_chunk = False
 

@@ -10,7 +10,7 @@ from __future__ import annotations
 
 from dataclasses import dataclass, field
 from enum import Enum
-from typing import List, Tuple
+from typing import List, Optional, Tuple
 
 import numpy as np
 
@@ -156,6 +156,59 @@ def search(key_list: List[Key], wav_data, mode: SyncMode) -> List[KeyResult]:
     return results
 
 
+_K_CAP = 1024               # beyond this the staged path is the better tool
+
+
+def _fused_k_for(T: int, frames_per_block: int, n_starts_s: int,
+                 k_min: int = 0) -> Tuple[int, bool]:
+    """Candidate slot count (>= k_min for saturation-escalation retries)
+    and whether it covers EVERY start — complete coverage makes slot
+    saturation impossible (reduced sync geometries can put hundreds of
+    candidates above the approx threshold)."""
+    from ..ops import search_fused
+    K = min(n_starts_s,
+            max(search_fused.top_k_for(T, frames_per_block),
+                -(-max(Params.get_n_best, 1) // 8) * 8, k_min))
+    return K, K >= n_starts_s
+
+
+def _select_from_fused(key: Key, out_np: dict, K: int, clip: bool,
+                       complete: bool = False):
+    """Exact CLI selection from the fused kernel's fetched (K,) outputs;
+    None -> slot saturation, the caller must use the staged path."""
+    n_el = int(np.count_nonzero(out_np["eligible"]))
+    q = np.asarray(out_np["q"], dtype=np.float64)[:n_el]
+    mean = np.asarray(out_np["mean"], dtype=np.float64)[:n_el]
+    rpos = np.asarray(out_np["refined_pos"])[:n_el]
+    rq = np.asarray(out_np["refined_q"], dtype=np.float64)[:n_el]
+
+    # approx threshold/n-best truncation (the kernel's top-K slots are
+    # quality-descending with index tie order, exactly the host ordering)
+    aq = np.abs(q - mean)
+    n_above = int(np.count_nonzero(aq > Params.sync_threshold2 * 0.75))
+    if n_el == K and n_above == K and not complete:
+        return None          # slots saturated: candidates may be missing
+    keep = n_above if n_above >= Params.get_n_best \
+        else min(Params.get_n_best, n_el)
+    if clip:
+        keep = min(keep, max(Params.get_n_best, 5))
+
+    refined = [_SearchScore(index=int(rpos[i]), raw_quality=float(rq[i]),
+                            local_mean=float(mean[i]))
+               for i in range(keep)]
+    refined.sort(key=lambda s: s.index)
+    refined = _select_threshold_and_n_best(refined, Params.sync_threshold2)
+    refined.sort(key=lambda s: s.index)
+
+    result = KeyResult(key=key)
+    for s in refined:
+        qd = s.raw_quality - s.local_mean
+        result.sync_scores.append(Score(
+            index=s.index, quality=abs(qd),
+            block_type=ConvBlockType.a if qd > 0 else ConvBlockType.b))
+    return result
+
+
 def _search_fused_one(key: Key, wav_data, mode: SyncMode):
     """One-dispatch search for one key; None -> caller uses the staged path
     (slot saturation: more candidates above the approx threshold than the
@@ -178,13 +231,6 @@ def _search_fused_one(key: Key, wav_data, mode: SyncMode):
 
     T = search_fused.bucket_frames(F)
     n_starts_s = sync_ops.SHIFTS * (T - 1 - sync_bits.total_frames)
-    K = min(n_starts_s,
-            max(search_fused.top_k_for(T, tables.frames_per_block),
-                -(-max(Params.get_n_best, 1) // 8) * 8))
-    searcher = search_fused.build_searcher(tables, clip, T,
-                                           n_channels, K)
-    if searcher is None:
-        return None
 
     if clip:
         sil_first, sil_last = _scan_silence(samples)
@@ -197,40 +243,112 @@ def _search_fused_one(key: Key, wav_data, mode: SyncMode):
         x = jnp.concatenate(
             [x, jnp.zeros((pad_rows, n_channels), jnp.float32)])
 
-    out = searcher(x, np.int32(n_starts_true), np.int32(true_frames),
-                   np.int32(sil_first), np.int32(sil_last))
-    elig = np.asarray(out["eligible"])
-    n_el = int(np.count_nonzero(elig))
-    q = np.asarray(out["q"], dtype=np.float64)[:n_el]
-    mean = np.asarray(out["mean"], dtype=np.float64)[:n_el]
-    rpos = np.asarray(out["refined_pos"])[:n_el]
-    rq = np.asarray(out["refined_q"], dtype=np.float64)[:n_el]
+    # saturation escalation: retry with 4x the slots before giving the
+    # stream to the staged path (reduced sync geometries overflow the
+    # default top-K with above-threshold candidates)
+    k_min = 0
+    while True:
+        K, complete = _fused_k_for(T, tables.frames_per_block, n_starts_s,
+                                   k_min)
+        searcher = search_fused.build_searcher(tables, clip, T,
+                                               n_channels, K)
+        if searcher is None:
+            return None
+        out = searcher(x, np.int32(n_starts_true), np.int32(true_frames),
+                       np.int32(sil_first), np.int32(sil_last))
+        out_np = {k: np.asarray(v) for k, v in out.items()}
+        r = _select_from_fused(key, out_np, K, clip, complete)
+        if r is not None:
+            return r
+        if complete or K >= _K_CAP:
+            return None
+        k_min = K * 4
 
-    # approx threshold/n-best truncation (the kernel's top-K slots are
-    # quality-descending with index tie order, exactly the host ordering)
-    aq = np.abs(q - mean)
-    n_above = int(np.count_nonzero(aq > Params.sync_threshold2 * 0.75))
-    if n_el == K and n_above == K:
-        return None          # slots saturated: candidates may be missing
-    keep = n_above if n_above >= Params.get_n_best \
-        else min(Params.get_n_best, n_el)
-    if clip:
-        keep = min(keep, max(Params.get_n_best, 5))
 
-    refined = [_SearchScore(index=int(rpos[i]), raw_quality=float(rq[i]),
-                            local_mean=float(mean[i]))
-               for i in range(keep)]
-    refined.sort(key=lambda s: s.index)
-    refined = _select_threshold_and_n_best(refined, Params.sync_threshold2)
-    refined.sort(key=lambda s: s.index)
+def group_device_count() -> int:
+    """Devices available for chunk-group data parallelism in the CLI get
+    path (AUDIOWMARK_MULTICHIP=0 disables; single device -> 1)."""
+    import os
+    if os.environ.get("AUDIOWMARK_MULTICHIP", "1") in ("0", "false"):
+        return 1
+    import jax
+    return jax.device_count()
 
-    result = KeyResult(key=key)
-    for s in refined:
-        qd = s.raw_quality - s.local_mean
-        result.sync_scores.append(Score(
-            index=s.index, quality=abs(qd),
-            block_type=ConvBlockType.a if qd > 0 else ConvBlockType.b))
-    return result
+
+def search_block_group(key_list: List[Key], wav_list) -> Optional[list]:
+    """Multi-chip BLOCK search over a group of chunks: ONE dp-sharded
+    dispatch per key scores every chunk in parallel (the production
+    `get` chunk loop's device-parallel axis; reference analogue is the
+    ThreadPool fan-out in src/syncfinder.cc:607-657).
+
+    Returns per-chunk List[KeyResult] with results identical to calling
+    `search(key_list, chunk, BLOCK)` per chunk, or None if any chunk needs
+    the fallback path (saturated slots, degenerate sizes, --test-no-sync)
+    — the caller then decodes chunk-by-chunk as usual."""
+    if Params.test_no_sync or len(wav_list) < 2:
+        return None
+    from ..ops import search_fused
+
+    n_dev = group_device_count()
+    n_channels = wav_list[0].n_channels
+    geom = []
+    for wav in wav_list:
+        true_frames = wav.samples.size // n_channels
+        geom.append((true_frames, true_frames // Params.frame_size))
+    T = max(search_fused.bucket_frames(f) for _, f in geom)
+    B = -(-len(wav_list) // n_dev) * n_dev
+
+    per_chunk: list = [[] for _ in wav_list]
+    for key in key_list:
+        tables = get_key_tables(key)
+        sync_bits = sync_ops.build_sync_bits(tables, False)
+        n_starts_s = sync_ops.SHIFTS * (T - 1 - sync_bits.total_frames)
+        if n_starts_s <= 0:
+            return None
+
+        xs = np.zeros((B, T * Params.frame_size, n_channels), np.float32)
+        n_starts = np.zeros(B, np.int32)
+        frames = np.zeros(B, np.int32)
+        sil_last = np.zeros(B, np.int32)
+        for i, wav in enumerate(wav_list):
+            true_frames, F = geom[i]
+            rows = wav.samples.reshape(-1, n_channels)
+            xs[i, : rows.shape[0]] = rows
+            n_starts[i] = max(
+                sync_ops.SHIFTS * (F - 1 - sync_bits.total_frames), 0)
+            frames[i] = true_frames
+            sil_last[i] = wav.samples.size
+
+        k_min = 0
+        while True:
+            K, complete = _fused_k_for(T, tables.frames_per_block,
+                                       n_starts_s, k_min)
+            searcher = search_fused.build_searcher_group(
+                tables, False, T, n_channels, K, B, n_dev)
+            if searcher is None:
+                return None
+            out = searcher(xs, n_starts, frames, np.zeros(B, np.int32),
+                           sil_last)
+            out_np = {k: np.asarray(v) for k, v in out.items()}
+            key_rs = []
+            for i in range(len(wav_list)):
+                if n_starts[i] <= 0:
+                    key_rs.append(KeyResult(key=key))
+                    continue
+                r = _select_from_fused(
+                    key, {k: v[i] for k, v in out_np.items()}, K, False,
+                    complete)
+                if r is None:
+                    break           # saturated chunk: escalate K
+                key_rs.append(r)
+            if len(key_rs) == len(wav_list):
+                break
+            if complete or K >= _K_CAP:
+                return None
+            k_min = K * 4
+        for i, r in enumerate(key_rs):
+            per_chunk[i].append(r)
+    return per_chunk
 
 
 def search_staged(key_list: List[Key], wav_data,

@@ -64,6 +64,13 @@ def top_k_for(T: int, frames_per_block: int) -> int:
     return -(-k // 8) * 8
 
 
+def _memo_key(tag, clip_mode, T, C, K, dft_bf16, extra=()):
+    return (tag, clip_mode, T, C, K, dft_bf16,
+            Params.sync_bits, Params.sync_frames_per_bit, Params.min_band,
+            Params.max_band, Params.water_delta,
+            Params.frames_per_bit) + tuple(extra)
+
+
 def build_searcher(tables: KeyTables, clip_mode: bool, T: int, C: int,
                    K: int, dft_bf16: Optional[bool] = None):
     """Jitted f(x (T*FRAME, C) f32, n_starts i32, n_sample_frames i32,
@@ -72,12 +79,51 @@ def build_searcher(tables: KeyTables, clip_mode: bool, T: int, C: int,
 
     Memoized per (key tables, mode, shape) so repeated chunks share the
     compiled executable and the uploaded per-key constants."""
+    def build():
+        fn = _build_searcher(tables, clip_mode, T, C, K, dft_bf16)
+        return None if fn is None else jax.jit(fn)
+    return memo_derived(
+        tables, _memo_key("fused_search", clip_mode, T, C, K, dft_bf16),
+        build)
+
+
+def build_searcher_group(tables: KeyTables, clip_mode: bool, T: int, C: int,
+                         K: int, B: int, n_dev: int,
+                         dft_bf16: Optional[bool] = None):
+    """Multi-chip variant: the fused search vmapped over a batch of B chunks
+    and dp-sharded over n_dev devices (B % n_dev == 0).  The CLI's chunk
+    loop over a multi-hour file feeds device-count chunks per dispatch —
+    the reference instead fans its ThreadPool out over sync-search rows
+    (src/syncfinder.cc:607-657); here the chunk is the natural data-parallel
+    grain because chunks are fully independent.
+
+    f(x (B, T*FRAME, C), n_starts (B,), frames (B,), sil_first (B,),
+      sil_last (B,)) -> dict of (B, K) tensors (same fields as
+    build_searcher)."""
+    def build():
+        fn = _build_searcher(tables, clip_mode, T, C, K, dft_bf16)
+        if fn is None:
+            return None
+        batched = jax.vmap(fn)
+        if n_dev <= 1:
+            return jax.jit(batched)
+        from jax.sharding import Mesh, PartitionSpec as P
+        try:
+            from jax import shard_map
+        except ImportError:        # pragma: no cover - older jax
+            from jax.experimental.shard_map import shard_map
+        mesh = Mesh(np.array(jax.devices()[:n_dev]), axis_names=("chunks",))
+        sharded = shard_map(
+            batched, mesh=mesh,
+            in_specs=(P("chunks"), P("chunks"), P("chunks"), P("chunks"),
+                      P("chunks")),
+            out_specs=P("chunks"), check_vma=False)
+        return jax.jit(sharded)
     return memo_derived(
         tables,
-        ("fused_search", clip_mode, T, C, K, dft_bf16,
-         Params.sync_bits, Params.sync_frames_per_bit, Params.min_band,
-         Params.max_band, Params.water_delta, Params.frames_per_bit),
-        lambda: _build_searcher(tables, clip_mode, T, C, K, dft_bf16))
+        _memo_key("fused_search_group", clip_mode, T, C, K, dft_bf16,
+                  (B, n_dev)),
+        build)
 
 
 def _build_searcher(tables: KeyTables, clip_mode: bool, T: int, C: int,
@@ -317,4 +363,4 @@ def _build_searcher(tables: KeyTables, clip_mode: bool, T: int, C: int,
             "eligible": eligible,
         }
 
-    return jax.jit(search)
+    return search

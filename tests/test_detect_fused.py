@@ -107,3 +107,55 @@ def test_fused_detector_bf16_recovers_codeword(mini_geometry):
     assert abs(int(out["positions"][best])
                - Params.frames_pad_start * FRAME) < FRAME // 2
     assert out["bits"][best].tolist() == list(codeword)
+
+
+@pytest.mark.slow
+def test_detect_batch_agrees_with_cli_pipeline(mini_geometry):
+    """Fleet API vs CLI selection on the same attacked streams (round-2
+    review weak #2): every single-block A/B pattern the CLI pipeline
+    (BlockDecoder: fused search with masking/threshold/n-best + exact-match
+    short decode) reports must appear in detect_batch's top-k at the same
+    refined position, same block type, and with the identical conv-decoded
+    codeword.  The residual divergence is one-directional and documented:
+    detect_batch keeps fixed top-k slots and no opposite-sign masking, so
+    it may ALSO surface candidates the CLI drops — it never misses one the
+    CLI keeps."""
+    from audiowmark_tpu.codec.convcode import ConvBlockType
+    from audiowmark_tpu.io.wavdata import WavData
+    from audiowmark_tpu.models.decoder import BlockDecoder
+    from audiowmark_tpu.models.resultset import PatternType, ResultSet
+
+    key = Key()
+    marked = _watermarked_batch(key)
+    rng = np.random.RandomState(3)
+    attacked = np.clip(
+        marked + rng.randn(*marked.shape).astype(np.float32) * 0.02,
+        -1.0, 1.0)
+
+    out = detect_batch(key, attacked, mesh=make_mesh(8), top_k=8)
+
+    n_cli_patterns = 0
+    for b in range(B):
+        wav = WavData(attacked[b].reshape(-1).copy(), C,
+                      Params.mark_sample_rate, 16)
+        rs = ResultSet()
+        BlockDecoder(1).run([key], wav, rs)
+        for p in rs.patterns:
+            if (p.type != PatternType.BLOCK
+                    or p.sync_block_type == ConvBlockType.ab):
+                continue
+            n_cli_patterns += 1
+            pos = int(round(p.time * Params.mark_sample_rate))
+            want_a = p.sync_block_type == ConvBlockType.a
+            want_bits = list(short_encode_blk(p.bit_vec))
+            hits = [
+                j for j in range(out["positions"].shape[1])
+                if abs(int(out["positions"][b][j]) - pos) < FRAME // 2
+                and bool(out["block_is_a"][b][j]) == want_a
+                and out["bits"][b][j].tolist() == want_bits
+            ]
+            assert hits, \
+                "stream %d: CLI pattern at %d missing from detect_batch" \
+                % (b, pos)
+    # the attacked batch must actually exercise the comparison
+    assert n_cli_patterns >= B

@@ -49,6 +49,24 @@ def test_detect_speed_0_9764(speed_wavs, capsys):
 
 
 @pytest.mark.slow
+@pytest.mark.parametrize("patient", [False, True])
+@pytest.mark.parametrize("speed", ["0.9764", "1.0", "1.01"])
+def test_detect_speed_grid(speed_wavs, capsys, speed, patient):
+    """Full e2e parity grid of /root/reference/tests/detect-speed-test.sh:
+    speeds 0.9764/1.0/1.01 x {normal, patient}; each cell must report a
+    match (audiowmark_cmp asserts rc 0).  Patient mode runs the deeper
+    scan1 {50 s, 1.00035, 11, 28} with n_best 15
+    (src/wmspeed.cc:649-662)."""
+    d, wm = speed_wavs
+    spd = str(d / ("grid_%s.wav" % speed))
+    assert run(["test-change-speed", wm, spd, speed]) == 0
+    flag = "--detect-speed-patient" if patient else "--detect-speed"
+    rc = run(["--strict", "cmp", spd, MSG, flag, "--test-speed", speed])
+    out = capsys.readouterr().out
+    assert rc == 0, out
+
+
+@pytest.mark.slow
 def test_try_speed(speed_wavs, capsys):
     d, wm = speed_wavs
     spd = str(d / "spd2.wav")

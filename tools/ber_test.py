@@ -9,10 +9,16 @@ report per-pattern bit error rates and the frame (payload) error rate.
     python tools/ber_test.py <wav...> [--seeds N] [--strength S]
                              [--transform none|mp3:BITRATE|ogg:BITRATE|
                               opus:BITRATE|aac:BITRATE|
-                              resample:RATE|speed:FACTOR]
+                              resample:RATE|speed:FACTOR|
+                              double-mp3:B1:B2|speed-mp3:FACTOR:BITRATE|
+                              trunc:SECONDS|clip:SECONDS]
 
 All transforms run on the native codec bindings (no external tools):
-libmp3lame, libvorbisenc, and the libav shim for opus/aac.
+libmp3lame, libvorbisenc, and the libav shim for opus/aac.  The harder
+rows mirror the reference's attack generators: double-mp3
+(src/ber-double-mp3.sh), speed-then-codec (src/gen-speed-mk.sh, decoded
+with --detect-speed), truncation (src/gen-trunc-mk.sh) and short clips
+(src/gen-short-clip-mk.sh).
 """
 
 import argparse
@@ -35,9 +41,74 @@ def run_cli(args):
     return cli_main(args)
 
 
-def transform(kind, src, dst):
+def _mp3_roundtrip(samples, n_channels, rate, bitrate):
+    """encode at `bitrate` and decode back via the autodetecting stream
+    factory (libmpg123 underneath)."""
+    import tempfile as _tf
+
+    from audiowmark_tpu.io.lame import encode_mp3
+    from audiowmark_tpu.io.wavdata import WavData
+    data = encode_mp3(samples, n_channels, rate, bitrate)
+    with _tf.NamedTemporaryFile(suffix=".mp3", delete=False) as f:
+        f.write(data)
+        name = f.name
+    try:
+        return WavData.load(name)
+    finally:
+        os.remove(name)
+
+
+def transform(kind, src, dst, rng=None):
     if kind == "none":
         shutil.copy(src, dst)
+        return
+    if kind.startswith("double-mp3:"):
+        # mp3 -> decode -> mp3 again (src/ber-double-mp3.sh: generational
+        # transcode; two lossy passes compound the spectral damage)
+        from audiowmark_tpu.io.lame import encode_mp3
+        from audiowmark_tpu.io.wavdata import WavData
+        _, b1, b2 = kind.split(":")
+        w = WavData.load(src)
+        w2 = _mp3_roundtrip(w.samples, w.n_channels, w.sample_rate, int(b1))
+        with open(dst, "wb") as f:
+            f.write(encode_mp3(w2.samples, w2.n_channels, w2.sample_rate,
+                               int(b2)))
+        return
+    if kind.startswith("speed-mp3:"):
+        # speed change then mp3 (src/gen-speed-mk.sh matrices); the decode
+        # side must recover the speed first (--detect-speed)
+        from audiowmark_tpu.io.lame import encode_mp3
+        from audiowmark_tpu.io.wavdata import WavData
+        _, factor, bitrate = kind.split(":")
+        mid = dst + ".speed.wav"
+        assert run_cli(["test-change-speed", src, mid, factor]) == 0
+        w = WavData.load(mid)
+        os.remove(mid)
+        with open(dst, "wb") as f:
+            f.write(encode_mp3(w.samples, w.n_channels, w.sample_rate,
+                               int(bitrate)))
+        return
+    if kind.startswith("trunc:"):
+        # keep only the first N seconds (src/gen-trunc-mk.sh)
+        from audiowmark_tpu.io.wavdata import WavData
+        secs = float(kind.split(":")[1])
+        w = WavData.load(src)
+        n = int(secs * w.sample_rate) * w.n_channels
+        w.set_samples(w.samples[:n])
+        w.save(dst)
+        return
+    if kind.startswith("clip:"):
+        # random N-second excerpt (src/gen-short-clip-mk.sh uses a random
+        # start per seed; rng comes from the harness for determinism)
+        from audiowmark_tpu.io.wavdata import WavData
+        secs = float(kind.split(":")[1])
+        w = WavData.load(src)
+        n = int(secs * w.sample_rate) * w.n_channels
+        lo = max(w.samples.size - n, 0)
+        start = (int(rng.randint(0, lo // w.n_channels + 1))
+                 * w.n_channels if rng is not None and lo else 0)
+        w.set_samples(w.samples[start:start + n])
+        w.save(dst)
         return
     if kind.startswith("resample:"):
         rate = kind.split(":")[1]
@@ -84,14 +155,14 @@ def transform(kind, src, dst):
     raise SystemExit("unknown transform %r" % kind)
 
 
-def decode_patterns(wav, capline_file):
+def decode_patterns(wav, extra_args=()):
     """Run cmp-like decode, capture pattern lines."""
     import contextlib
     import io
     Params.reset()
     buf = io.StringIO()
     with contextlib.redirect_stdout(buf):
-        cli_main(["get", wav])
+        cli_main(["get", wav] + list(extra_args))
     patterns = []
     for line in buf.getvalue().splitlines():
         parts = line.split()
@@ -122,14 +193,17 @@ def main():
                               for i in range(0, 128, 4))
                 wm = os.path.join(tmpdir, "wm.wav")
                 ext = {"mp3": ".mp3", "ogg": ".ogg", "opus": ".opus",
-                       "aac": ".aac"}.get(
+                       "aac": ".aac", "double-mp3": ".mp3",
+                       "speed-mp3": ".mp3"}.get(
                     args.transform.split(":")[0], ".wav")
                 attacked = os.path.join(tmpdir, "attacked" + ext)
                 assert run_cli(["-q", "add", "--strength", args.strength,
                                 infile, wm, msg]) == 0
-                transform(args.transform, wm, attacked)
+                transform(args.transform, wm, attacked, rng=rng)
 
-                patterns = decode_patterns(attacked, None)
+                extra = (["--detect-speed"]
+                         if args.transform.startswith("speed-mp3:") else [])
+                patterns = decode_patterns(attacked, extra)
                 frames += 1
                 if not patterns:
                     frame_errors += 1
