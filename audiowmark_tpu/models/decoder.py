@@ -37,12 +37,13 @@ from .syncfinder import SyncMode
 
 
 @partial(jax.jit, static_argnames=("count", "use_dft", "mix", "group",
-                                   "fpb"))
+                                   "fpb", "n_ch"))
 def _block_raw_batch_dev(x: jnp.ndarray, indices: jnp.ndarray,
                          awin: jnp.ndarray, dftm: jnp.ndarray,
                          lay_frame: jnp.ndarray, lay_up: jnp.ndarray,
                          lay_dn: jnp.ndarray, count: int, use_dft: bool,
-                         mix: bool, group: int, fpb: int) -> jnp.ndarray:
+                         mix: bool, group: int, fpb: int,
+                         n_ch: int) -> jnp.ndarray:
     """Per-candidate raw soft bits, fully on device: block dB spectrogram
     (reference fft_range, src/wmcommon.cc:123-141) -> prev/next background
     subtraction + channel sum -> keyed up/down band gathers -> per-bit sums
@@ -58,12 +59,16 @@ def _block_raw_batch_dev(x: jnp.ndarray, indices: jnp.ndarray,
     mix mode:    lay_frame/lay_up/lay_dn are (n_data*30,) mix entries.
     linear mode: lay_frame is (n_data_frames,), lay_up/lay_dn are
                  (n_data_frames, 30) band tables.
+
+    x: (n*C,) float32 interleaved FLAT — a materialized (n, 2) array on
+    TPU pads the minor dim to 128 lanes (64x memory; long chunks OOM);
+    the per-candidate reshape fuses inside the kernel.
     """
     n_bands = Params.max_band - Params.min_band + 1
+    C = n_ch
 
     def one(i):
-        w = jax.lax.dynamic_slice_in_dim(x, i, count * FRAME, axis=0)
-        C = x.shape[1]
+        w = jax.lax.dynamic_slice_in_dim(x, i * C, count * FRAME * C)
         if use_dft:
             flat = jnp.swapaxes(w.reshape(count, FRAME, C), 1, 2)
             spec = band_dot(flat.reshape(count * C, FRAME), dftm, use_dft)
@@ -112,7 +117,7 @@ def _block_raw_batch(samples: np.ndarray, n_channels: int,
         K *= 2
     idx = np.zeros(K, dtype=np.int32)
     idx[: len(valid)] = valid
-    x_dev = device_audio(samples).reshape(-1, n_channels)
+    x_dev = device_audio(samples)          # flat; kernel reshapes inside
     from ..ops.sync import _dft_matrix
 
     def build_layout():
@@ -142,7 +147,7 @@ def _block_raw_batch(samples: np.ndarray, n_channels: int,
             x_dev, jnp.asarray(idx), device_array(analysis_window()),
             device_array(_dft_matrix()), lay_frame, lay_up, lay_dn,
             frame_count, dft_mode(), bool(Params.mix), group,
-            Params.frames_per_bit))
+            Params.frames_per_bit, n_channels))
     return {i: raws[k].astype(np.float32) for k, i in enumerate(valid)}
 
 

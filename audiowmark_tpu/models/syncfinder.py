@@ -237,11 +237,11 @@ def _search_fused_one(key: Key, wav_data, mode: SyncMode):
     else:
         sil_first, sil_last = 0, samples.size
 
-    x = device_audio(samples).reshape(-1, n_channels)
-    pad_rows = T * Params.frame_size - x.shape[0]
-    if pad_rows:
-        x = jnp.concatenate(
-            [x, jnp.zeros((pad_rows, n_channels), jnp.float32)])
+    # FLAT across the jit boundary: a (n, 2) device array is 64x lane-padded
+    x = device_audio(samples)
+    pad_vals = T * Params.frame_size * n_channels - x.shape[0]
+    if pad_vals:
+        x = jnp.concatenate([x, jnp.zeros(pad_vals, jnp.float32)])
 
     # saturation escalation: retry with 4x the slots before giving the
     # stream to the staged path (reduced sync geometries overflow the
@@ -306,14 +306,14 @@ def search_block_group(key_list: List[Key], wav_list) -> Optional[list]:
         if n_starts_s <= 0:
             return None
 
-        xs = np.zeros((B, T * Params.frame_size, n_channels), np.float32)
+        # flat interleaved per chunk (see build_searcher's layout note)
+        xs = np.zeros((B, T * Params.frame_size * n_channels), np.float32)
         n_starts = np.zeros(B, np.int32)
         frames = np.zeros(B, np.int32)
         sil_last = np.zeros(B, np.int32)
         for i, wav in enumerate(wav_list):
             true_frames, F = geom[i]
-            rows = wav.samples.reshape(-1, n_channels)
-            xs[i, : rows.shape[0]] = rows
+            xs[i, : wav.samples.size] = wav.samples
             n_starts[i] = max(
                 sync_ops.SHIFTS * (F - 1 - sync_bits.total_frames), 0)
             frames[i] = true_frames

@@ -73,9 +73,14 @@ def _memo_key(tag, clip_mode, T, C, K, dft_bf16, extra=()):
 
 def build_searcher(tables: KeyTables, clip_mode: bool, T: int, C: int,
                    K: int, dft_bf16: Optional[bool] = None):
-    """Jitted f(x (T*FRAME, C) f32, n_starts i32, n_sample_frames i32,
-    sil_first i32, sil_last i32) -> dict of (K,) tensors:
-    t (approx tau), q, mean, refined_pos, refined_q, eligible.
+    """Jitted f(x (T*FRAME*C,) f32 interleaved FLAT, n_starts i32,
+    n_sample_frames i32, sil_first i32, sil_last i32) -> dict of (K,)
+    tensors: t (approx tau), q, mean, refined_pos, refined_q, eligible.
+
+    The audio crosses the jit boundary FLAT: a materialized (n, 2) array
+    on TPU pads the minor dim to 128 lanes (64x memory/bandwidth — a
+    30-minute chunk would OOM the chip); inside the kernel the reshape
+    fuses into the window slicing.
 
     Memoized per (key tables, mode, shape) so repeated chunks share the
     compiled executable and the uploaded per-key constants."""
@@ -200,7 +205,8 @@ def _build_searcher(tables: KeyTables, clip_mode: bool, T: int, C: int,
     lm_shifts = (list(range(-LM_DIST, -LM_EXCL + 1))
                  + list(range(LM_EXCL, LM_DIST + 1)))
 
-    def search(x, n_starts_d, n_sample_frames_d, sil_first, sil_last):
+    def search(x_flat, n_starts_d, n_sample_frames_d, sil_first, sil_last):
+        x = x_flat.reshape(n_samples, C)
         # ---- hop-256 dB spectrogram from static hop-chunk slices ----
         xc = x[: (n_samples // HOP) * HOP].reshape(-1, HOP, C)
         windows = jnp.concatenate(

@@ -121,21 +121,24 @@ def band_dot(flat: jnp.ndarray, dftm: jnp.ndarray, mode) -> jnp.ndarray:
 _db_frames = _db_spectrogram_core
 
 
-@partial(jax.jit, static_argnames=("tile", "use_dft"))
-def _hop_spec_tile(xc: jnp.ndarray, start: jnp.ndarray, awin: jnp.ndarray,
-                   dftm: jnp.ndarray, tile: int,
-                   use_dft: bool) -> jnp.ndarray:
+@partial(jax.jit, static_argnames=("tile", "use_dft", "n_ch"))
+def _hop_spec_tile(x_flat: jnp.ndarray, start: jnp.ndarray,
+                   awin: jnp.ndarray, dftm: jnp.ndarray, tile: int,
+                   use_dft: bool, n_ch: int) -> jnp.ndarray:
     """dB spectrogram rows [start, start+tile) from the hop-chunk view.
 
-    xc: (n_chunks, HOP, C) — the signal cut into hop-sized chunks; window
-    tau is chunks tau..tau+3 concatenated, so windows come from 4 static
-    SLICES instead of a gather (4x faster on TPU).
+    x_flat: (n_chunks*HOP*C,) interleaved FLAT (a materialized (n, 2)
+    device array pads the minor dim to 128 lanes — 64x memory; the
+    in-kernel reshape fuses away); window tau is chunks tau..tau+3
+    concatenated, so windows come from 4 static SLICES instead of a
+    gather (4x faster on TPU).
 
     On TPU the 81-band spectrum comes from one MXU matmul against the
     windowed band-restricted DFT matrix instead of a full 513-bin rfft —
     ~4x faster for this kernel and it fuses with the downstream band-sum
     (the VERDICT round-1 "spectrogram + band-sum" fusion); CPU keeps rfft.
     """
+    xc = x_flat.reshape(-1, HOP, n_ch)
     sl = jax.lax.dynamic_slice_in_dim(xc, start, tile + SHIFTS - 1, axis=0)
     windows = jnp.concatenate(
         [sl[k:k + tile] for k in range(SHIFTS)], axis=1)  # (tile, FRAME, C)
@@ -186,19 +189,21 @@ def hop_spectrogram(samples: np.ndarray, n_channels: int,
     TILE = 16384
     n_chunks = x.shape[0] // HOP
     pad_chunks = -(-n_taus // TILE) * TILE + SHIFTS - 1
-    # one cached upload of the raw buffer; the chunk view + padding are
-    # derived on device
-    x_dev = device_audio(samples).reshape(-1, n_channels)
-    xc_j = x_dev[: n_chunks * HOP].reshape(n_chunks, HOP, n_channels)
+    # one cached upload of the raw buffer, kept FLAT (1-D pads at most 127
+    # lanes; a (n, 2) layout would pad 64x); chunking happens in-kernel
+    x_dev = device_audio(samples)
+    flat_len = n_chunks * HOP * n_channels
+    x_flat = x_dev[:flat_len]
     if pad_chunks > n_chunks:
-        xc_j = jnp.concatenate(
-            [xc_j, jnp.zeros((pad_chunks - n_chunks, HOP, n_channels),
-                             jnp.float32)], axis=0)
+        x_flat = jnp.concatenate(
+            [x_flat, jnp.zeros((pad_chunks - n_chunks) * HOP * n_channels,
+                               jnp.float32)])
     awin = device_array(analysis_window())
     use_dft = dft_mode()
     dftm = device_array(_dft_matrix())
 
-    tiles = [_hop_spec_tile(xc_j, jnp.int32(t0), awin, dftm, TILE, use_dft)
+    tiles = [_hop_spec_tile(x_flat, jnp.int32(t0), awin, dftm, TILE,
+                            use_dft, n_channels)
              for t0 in range(0, n_taus, TILE)]
     S = tiles[0] if len(tiles) == 1 else jnp.concatenate(tiles, axis=0)
     return S[:n_taus], have
@@ -374,12 +379,12 @@ def _dft_matrix() -> np.ndarray:
         np.float32)
 
 
-@partial(jax.jit, static_argnames=("n_pos", "use_dft"))
-def _refine_grid_scores(xpad: jnp.ndarray, span_starts: jnp.ndarray,
+@partial(jax.jit, static_argnames=("n_pos", "use_dft", "n_ch"))
+def _refine_grid_scores(x_flat: jnp.ndarray, span_starts: jnp.ndarray,
                         awin: jnp.ndarray, dftm: jnp.ndarray, v: jnp.ndarray,
                         have: jnp.ndarray, n_pos: int,
                         norm_factor: jnp.ndarray,
-                        use_dft: bool) -> jnp.ndarray:
+                        use_dft: bool, n_ch: int) -> jnp.ndarray:
     """Quality for a (K, N_REFINE) grid of fine positions.
 
     Each (candidate, sync frame) pair needs N_REFINE windows stepping by
@@ -389,7 +394,9 @@ def _refine_grid_scores(xpad: jnp.ndarray, span_starts: jnp.ndarray,
     either a windowed-DFT matmul (TPU: MXU) or rfft (CPU: bit-identical to
     the previous formulation).
 
-    xpad: (C, n + _SPAN) zero-padded channels-first signal;
+    x_flat: (n*C,) interleaved FLAT signal (the channels-first transpose
+    happens in-kernel: a materialized (n, 2) device array pads the minor
+    dim to 128 lanes — 64x memory);
     span_starts: (K, J) int32;
     have: (K, N_REFINE, J) float32 weights (0 also marks invalid slots).
     Returns (K, N_REFINE) qualities.
@@ -399,7 +406,10 @@ def _refine_grid_scores(xpad: jnp.ndarray, span_starts: jnp.ndarray,
     would pad to 128 lanes (16x memory).
     """
     K, J = span_starts.shape
-    C = xpad.shape[0]
+    C = n_ch
+    xpad = jnp.concatenate(
+        [x_flat.reshape(-1, C).T, jnp.zeros((C, _SPAN), jnp.float32)],
+        axis=1)
 
     def span(s):
         return jax.lax.dynamic_slice_in_dim(xpad, s, _SPAN, axis=1)
@@ -489,9 +499,7 @@ def refine_grid(samples: np.ndarray, n_channels: int, bases: np.ndarray,
         f_last = (w_start + FRAME) * n_channels
         have *= (~((f_last < first) | (f_first > last))).astype(np.float32)
 
-    x_dev = device_audio(samples).reshape(-1, n_channels)
-    xpad = jnp.concatenate(
-        [x_dev.T, jnp.zeros((n_channels, _SPAN), jnp.float32)], axis=1)
+    x_dev = device_audio(samples)          # flat; kernel transposes inside
     use_dft = dft_mode()
     from .frames import analysis_window
     awin = device_array(analysis_window())
@@ -502,7 +510,8 @@ def refine_grid(samples: np.ndarray, n_channels: int, bases: np.ndarray,
     quals = np.empty((bases.size, N_REFINE), dtype=np.float32)
     for k0 in range(0, bases.size, Kb):
         quals[k0:k0 + Kb] = np.asarray(_refine_grid_scores(
-            xpad, jnp.asarray(span_starts[k0:k0 + Kb]), awin, dftm, v,
-            jnp.asarray(have[k0:k0 + Kb]), sync_bits.n_pos, norm, use_dft))
+            x_dev, jnp.asarray(span_starts[k0:k0 + Kb]), awin, dftm, v,
+            jnp.asarray(have[k0:k0 + Kb]), sync_bits.n_pos, norm, use_dft,
+            n_channels))
     quals = np.where(valid[:K], quals[:K], np.nan).astype(np.float32)
     return positions[:K], quals

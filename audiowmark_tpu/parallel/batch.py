@@ -9,6 +9,7 @@ within a stream the frame axis shards over sp with a 1-frame ppermute halo
 
 from __future__ import annotations
 
+from functools import partial
 from typing import Optional
 
 import numpy as np
@@ -25,11 +26,12 @@ from ..tables import get_key_tables
 from .mesh import Mesh, P, batch_embed_sharded, make_mesh, shard_map
 
 
-@jax.jit
-def _limiter_batch(x: jnp.ndarray, block_size: int = Params.mark_sample_rate,
-                   ceiling: float = Params.limiter_ceiling) -> jnp.ndarray:
+def _limiter_body(x: jnp.ndarray, block_size: int = Params.mark_sample_rate,
+                  ceiling: float = Params.limiter_ceiling) -> jnp.ndarray:
     """Vectorized lookahead limiter over (B, n_samples, C); the trailing
-    partial block is zero-padded through like the streamed reference."""
+    partial block is zero-padded through like the streamed reference.
+    Trace-time helper — call under jit so the (B, n, C) intermediates
+    never materialize in lane-padded device layouts."""
     B_streams, n, C = x.shape
     nb = -(-n // block_size)
     pad = nb * block_size - n
@@ -87,13 +89,25 @@ def watermark_batch(key: Key, audio: np.ndarray, message_hex: str,
     marked = batch_embed_sharded(mesh, jnp.asarray(frames),
                                  jnp.asarray(np.ascontiguousarray(mods)),
                                  Params.water_delta)
-    marked = jnp.swapaxes(marked, 2, 3).reshape(B_streams, T * FRAME, C)
-    if n_samples > T * FRAME:
-        marked = jnp.concatenate(
-            [marked, jnp.asarray(audio[:, T * FRAME:])], axis=1)
-    if apply_limiter:
-        marked = _limiter_batch(marked)
-    return np.asarray(marked)
+    tail = np.ascontiguousarray(audio[:, T * FRAME:]).reshape(B_streams, -1)
+    flat = _finalize_marked(marked, jnp.asarray(tail), bool(apply_limiter),
+                            C)
+    return np.asarray(flat).reshape(B_streams, n_samples, C)
+
+
+@partial(jax.jit, static_argnames=("limit", "C"))
+def _finalize_marked(m4: jnp.ndarray, tail_flat: jnp.ndarray, limit: bool,
+                     C: int) -> jnp.ndarray:
+    """(B, T, C, FRAME) embedded frames + flat tail -> FLAT (B, n*C) in ONE
+    jit: eager swapaxes/reshape would materialize (B, n, 2) arrays whose
+    minor dim TPU tiling pads to 128 lanes (64x memory)."""
+    B = m4.shape[0]
+    x = jnp.swapaxes(m4, 2, 3).reshape(B, -1, C)
+    if tail_flat.shape[1]:
+        x = jnp.concatenate([x, tail_flat.reshape(B, -1, C)], axis=1)
+    if limit:
+        x = _limiter_body(x)
+    return x.reshape(B, -1)
 
 
 def detect_batch(key: Key, audio: np.ndarray,
@@ -118,12 +132,15 @@ def detect_batch(key: Key, audio: np.ndarray,
     T = n_samples // FRAME
     det = build_detector(key, DetectorConfig(n_frames=T, n_channels=C,
                                              top_k=top_k))
-    batched = jax.vmap(lambda x: det(x.reshape(-1)))
+    batched = jax.vmap(det)
 
-    # streams shard over every device (dp*sp used as one flat data axis)
+    # streams shard over every device (dp*sp used as one flat data axis);
+    # audio crosses the jit boundary FLAT per stream — a (B, n, 2) device
+    # array pads the minor dim to 128 lanes (64x transfer/memory on TPU)
     flat_mesh = Mesh(mesh.devices.reshape(-1), axis_names=("streams",))
     fn = shard_map(batched, mesh=flat_mesh,
                    in_specs=(P("streams"),), out_specs=P("streams"),
                    check_vma=False)
-    out = jax.jit(fn)(jnp.asarray(audio[:, : T * FRAME]))
+    flat = np.ascontiguousarray(audio[:, : T * FRAME]).reshape(B_streams, -1)
+    out = jax.jit(fn)(jnp.asarray(flat))
     return {k: np.asarray(v) for k, v in out.items()}

@@ -302,9 +302,10 @@ def bench_io_floor(n_probes: int = 5):
 
 
 def bench_detect_speed():
-    """detect_speed wall-clock on TPU: a 60 s watermarked clip slowed to
-    0.9764, full 3-scan grid (the reference's costliest path,
-    src/wmspeed.cc:635-673).  Returns (seconds, detected_speed)."""
+    """detect_speed wall-clock on TPU: a 30 s watermarked clip (the
+    reference's detect-speed-test.sh fixture) slowed to 0.9764, full
+    3-scan grid (the reference's costliest path, src/wmspeed.cc:635-673).
+    Returns (seconds, detected_speed)."""
     import contextlib as _ctx
 
     from audiowmark_tpu.cli import test_gen_noise
@@ -317,7 +318,7 @@ def bench_detect_speed():
     infile = os.path.join(tmp, "bench_sp_in.wav")
     outfile = os.path.join(tmp, "bench_sp_wm.wav")
     key = Key()
-    test_gen_noise(key, infile, 60, RATE, 16)
+    test_gen_noise(key, infile, 30, RATE, 16)
     buf = io.StringIO()
     with contextlib.redirect_stdout(buf):
         assert add_watermark(key, infile, outfile,
@@ -369,16 +370,32 @@ def bench_chunked_get(minutes: int = 32):
     return secs / elapsed
 
 
+def _try(name, fn, default):
+    """Run one bench phase; a failure yields the default instead of killing
+    the whole bench (the driver consumes the JSON line unconditionally)."""
+    try:
+        return fn()
+    except Exception as e:          # noqa: BLE001 - report-and-continue
+        import traceback
+        print("bench phase %s FAILED: %s" % (name, e), file=sys.stderr)
+        traceback.print_exc()
+        return default
+
+
 def main():
     # production first: the sustained fused phase can throttle the remote
     # tunnel for a while, and the io floor should be sampled adjacent to
     # the production runs it contextualizes
-    io_floor_factor, up_mbs, down_mbs, spread = bench_io_floor()
-    prod_factor, add_s, get_s, phases = bench_production()
-    speed_s, speed_val = bench_detect_speed()
-    chunked_factor = bench_chunked_get()
-    fused_factor, compile_s, mfu = bench_fused()
-    batch_factor = bench_batch_detect()
+    io_floor_factor, up_mbs, down_mbs, spread = _try(
+        "io_floor", bench_io_floor, (0.0, 0.0, 0.0, (0, 0, 0, 0)))
+    prod_factor, add_s, get_s, phases = _try(
+        "production", bench_production, (0.0, 0.0, 0.0, {}))
+    speed_s, speed_val = _try("detect_speed", bench_detect_speed,
+                              (0.0, 0.0))
+    chunked_factor = _try("chunked_get", bench_chunked_get, 0.0)
+    fused_factor, compile_s, mfu = _try("fused", bench_fused,
+                                        (0.0, 0.0, -1.0))
+    batch_factor = _try("batch_detect", bench_batch_detect, 0.0)
     result = {
         "metric": "add_get_realtime_factor",
         "value": round(prod_factor, 1),
@@ -398,7 +415,7 @@ def main():
     # runs to the transport-only ceiling; on local PCIe the same ceiling is
     # >10000x.
     result["production_pct_of_io_floor"] = round(
-        100.0 * prod_factor / io_floor_factor, 1)
+        100.0 * prod_factor / io_floor_factor, 1) if io_floor_factor else 0.0
     result["prod_add_s"] = round(add_s, 2)
     result["prod_get_s"] = round(get_s, 2)
     result["prod_phases_s"] = phases       # mean seconds per iteration

@@ -17,14 +17,14 @@ from audiowmark_tpu.ops.frames import FRAME, analysis_window
 def test_hop_tile_dft_matches_rfft():
     rng = np.random.RandomState(3)
     tile = 64
-    xc = jnp.asarray(rng.randn(tile + sync_ops.SHIFTS - 1, sync_ops.HOP,
-                               2).astype(np.float32))
+    x_flat = jnp.asarray(rng.randn(
+        (tile + sync_ops.SHIFTS - 1) * sync_ops.HOP * 2).astype(np.float32))
     awin = jnp.asarray(analysis_window())
     dftm = jnp.asarray(sync_ops._dft_matrix())
-    a = np.asarray(sync_ops._hop_spec_tile(xc, jnp.int32(0), awin, dftm,
-                                           tile, False))
-    b = np.asarray(sync_ops._hop_spec_tile(xc, jnp.int32(0), awin, dftm,
-                                           tile, True))
+    a = np.asarray(sync_ops._hop_spec_tile(x_flat, jnp.int32(0), awin, dftm,
+                                           tile, False, 2))
+    b = np.asarray(sync_ops._hop_spec_tile(x_flat, jnp.int32(0), awin, dftm,
+                                           tile, True, 2))
     assert a.shape == b.shape == (tile, sync_ops.N_BANDS)
     # dB sums over channels; near-zero bins may differ by rounding in the
     # log domain — bound both absolute and typical deviation
@@ -42,7 +42,7 @@ def test_block_raw_dft_matches_rfft():
     count = tables.frames_per_block
     rng = np.random.RandomState(4)
     x = jnp.asarray(
-        (rng.randn((count + 2) * FRAME, 2) * 0.2).astype(np.float32))
+        (rng.randn((count + 2) * FRAME * 2) * 0.2).astype(np.float32))
     idx = jnp.asarray(np.array([0, 512], dtype=np.int32))
     awin = jnp.asarray(analysis_window())
     dftm = jnp.asarray(sync_ops._dft_matrix())
@@ -51,8 +51,8 @@ def test_block_raw_dft_matches_rfft():
     lay_dn = jnp.asarray((tables.mix_dn - Params.min_band).astype(np.int32))
     group = Params.bands_per_frame * Params.frames_per_bit
     args = (x, idx, awin, dftm, lay_frame, lay_up, lay_dn, count)
-    a = np.asarray(_block_raw_batch_dev(*args, False, True, group, 2))
-    b = np.asarray(_block_raw_batch_dev(*args, True, True, group, 2))
+    a = np.asarray(_block_raw_batch_dev(*args, False, True, group, 2, 2))
+    b = np.asarray(_block_raw_batch_dev(*args, True, True, group, 2, 2))
     scale = np.mean(np.abs(a)) + 1e-9
     assert np.max(np.abs(a - b)) / scale < 2e-3
 
