@@ -236,8 +236,17 @@ class WavFileWriter:
         f.write(self._header)
 
     def write_frames(self, samples: np.ndarray):
-        data = encode_samples(np.asarray(samples, dtype=np.float32),
-                              self.bit_depth, self.encoding)
+        samples = np.asarray(samples)
+        if (samples.dtype == np.int16 and self.bit_depth == 16
+                and self.encoding == Encoding.SIGNED):
+            # pre-quantized device output: bytes go straight through (the
+            # f32 round trip + trunc-clip re-quantization reproduces these
+            # exact values, so skipping it is bit-identical and saves ~6
+            # full-array passes on multi-minute files)
+            data = samples.astype("<i2", copy=False).tobytes()
+        else:
+            data = encode_samples(samples.astype(np.float32, copy=False),
+                                  self.bit_depth, self.encoding)
         self.f.write(data)
         self.data_bytes += len(data)
 

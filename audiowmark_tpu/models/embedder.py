@@ -231,16 +231,17 @@ def _add_file_fast(embedder: StreamingEmbedder,
     n_frames_in = samples.size // n_channels
     n_out = n_frames_in * n_channels
 
-    G = max(-(-n_frames_in // FRAME), 1)
-    padded = np.zeros(G * FRAME * n_channels, dtype=np.float32)
-    padded[:samples.size] = samples
+    with prof.phase("add.hostprep"):
+        G = max(-(-n_frames_in // FRAME), 1)
+        padded = np.zeros(G * FRAME * n_channels, dtype=np.float32)
+        padded[:samples.size] = samples
 
-    # int16 upload when every sample sits exactly on the 16-bit grid
-    # (16-bit PCM / FLAC / 8-bit sources); halves host->device bytes
-    from ..utils.devcache import i16_grid
-    i16 = i16_grid(padded)
-    in_i16 = i16 is not None
-    x = i16 if in_i16 else padded
+        # int16 upload when every sample sits exactly on the 16-bit grid
+        # (16-bit PCM / FLAC / 8-bit sources); halves host->device bytes
+        from ..utils.devcache import i16_grid
+        i16 = i16_grid(padded)
+        in_i16 = i16 is not None
+        x = i16 if in_i16 else padded
 
     writer = getattr(out_stream, "writer", None)
     out_i16 = bool(writer is not None and writer.bit_depth == 16
@@ -252,17 +253,26 @@ def _add_file_fast(embedder: StreamingEmbedder,
 
     block_size = Params.mark_sample_rate \
         * int(Params.limiter_block_size_ms) // 1000
-    with prof.phase("add.device"):
-        out = _add_file_core(
-            jnp.asarray(x), jnp.asarray(mods),
+    with prof.phase("add.device.upload"):
+        xd = jnp.asarray(x)
+        md = jnp.asarray(mods)
+        if prof.enabled:            # sync so the phase shows transfer time
+            float(xd[0])
+    with prof.phase("add.device.compute"):
+        out_dev = _add_file_core(
+            xd, md,
             jnp.float32(embedder.water_delta),
             jnp.asarray(analysis_window()), jnp.asarray(synthesis_window()),
             jnp.float32(Params.limiter_ceiling),
             G, n_channels, n_out, bool(Params.test_no_limiter), in_i16,
             out_i16, block_size)
-        out = np.asarray(out)
-    if out_i16:
-        out = out.astype(np.float32) / 32768.0   # exact writer round trip
+        if prof.enabled:
+            float(out_dev[0])
+    with prof.phase("add.device.fetch"):
+        out = np.asarray(out_dev)
+    # out_i16: the device already applied the writer's trunc-clip
+    # quantization; the int16 buffer goes to the writer as-is (bit-identical
+    # to the f32 round trip, without 3 full-array conversions)
 
     # reference data-block count: boundaries within the frames the 1-frame
     # reference loop would feed, NOT within our padded dispatch
@@ -316,11 +326,13 @@ def add_stream_watermark(key: Key, in_stream: AudioInputStream,
     info("Channels:     %d\n" % in_stream.n_channels())
 
     n_channels = in_stream.n_channels()
-    embedder = StreamingEmbedder(key, n_channels, in_stream.sample_rate(),
-                                 bitvec)
-    limiter = StreamingLimiter(n_channels, in_stream.sample_rate(),
-                               Params.limiter_block_size_ms,
-                               Params.limiter_ceiling)
+    from ..utils import prof as _prof
+    with _prof.phase("add.init"):
+        embedder = StreamingEmbedder(key, n_channels,
+                                     in_stream.sample_rate(), bitvec)
+        limiter = StreamingLimiter(n_channels, in_stream.sample_rate(),
+                                   Params.limiter_block_size_ms,
+                                   Params.limiter_ceiling)
 
     snr_delta_power = 0.0
     snr_signal_power = 0.0
@@ -361,7 +373,9 @@ def add_stream_watermark(key: Key, in_stream: AudioInputStream,
                 error("audiowmark: error: %s\n" % msg)
                 return 1
             warning("audiowmark: warning: %s\n" % msg)
-        out_stream.close()
+        from ..utils import prof as _prof
+        with _prof.phase("add.close"):
+            out_stream.close()
         return 0
 
     # ramp the tile size up: small first tiles give low time-to-first-byte
@@ -458,8 +472,10 @@ def add_stream_watermark(key: Key, in_stream: AudioInputStream,
 
 
 def add_watermark(key: Key, infile: str, outfile: str, bits: str) -> int:
+    from ..utils import prof
     try:
-        in_stream = create_input_stream(infile)
+        with prof.phase("add.open"):
+            in_stream = create_input_stream(infile)
     except (StreamError, OSError) as e:
         error("audiowmark: error opening %s: %s\n" % (infile, e))
         return 1
@@ -470,9 +486,10 @@ def add_watermark(key: Key, infile: str, outfile: str, bits: str) -> int:
         out_bit_depth = 16
         out_encoding = Encoding.SIGNED
     try:
-        out_stream = create_output_stream(
-            outfile, in_stream.n_channels(), in_stream.sample_rate(),
-            out_bit_depth, out_encoding, in_stream.n_frames())
+        with prof.phase("add.open"):
+            out_stream = create_output_stream(
+                outfile, in_stream.n_channels(), in_stream.sample_rate(),
+                out_bit_depth, out_encoding, in_stream.n_frames())
     except (StreamError, OSError) as e:
         error("audiowmark: error writing to %s: %s\n" % (outfile, e))
         return 1

@@ -130,21 +130,35 @@ class _KeySearch:
     def run_scan(self, scan: ScanParams, speeds: List[float]):
         clip = _get_speed_clip(self.clip_location, self.in_data,
                                scan.seconds * 1.3)
+        # the reference runs each SpeedSync's jobs with speed == its own
+        # center (src/wmspeed.cc:477-478), so the relative grid is step^p
+        # around every center
+        centers = [speed * scan.step ** (c * (scan.n_steps * 2 + 1))
+                   for speed in speeds
+                   for c in range(-scan.n_center_steps,
+                                  scan.n_center_steps + 1)]
+        rels = [scan.step ** p
+                for p in range(-scan.n_steps, scan.n_steps + 1)]
+        try:
+            # whole scan in ONE device dispatch (clip uploaded once);
+            # raises ValueError for ratios outside the unified tap window
+            from ..ops import speed_fused
+            per_center = speed_fused.speed_scan(
+                clip.samples, clip.n_channels, centers, scan.seconds,
+                rels, self.sync_bits)
+            self.scores = [Score(sp, q)
+                           for row in per_center for q, sp in row]
+            return
+        except ValueError:
+            pass
         results: List[Score] = []
-        for speed in speeds:
-            for c in range(-scan.n_center_steps, scan.n_center_steps + 1):
-                center = speed * scan.step ** (c * (scan.n_steps * 2 + 1))
-                D = speed_ops.prepare_mag_matrix(
-                    clip.samples, clip.n_channels, center, scan.seconds,
-                    self.sync_bits)
-                # the reference runs each SpeedSync's jobs with
-                # speed == its own center (src/wmspeed.cc:477-478), so the
-                # relative grid is step^p around every center
-                rels = [scan.step ** p
-                        for p in range(-scan.n_steps, scan.n_steps + 1)]
-                for quality, out_speed in speed_ops.compare_speed_batch(
-                        D, self.sync_bits, rels, center):
-                    results.append(Score(out_speed, quality))
+        for center in centers:
+            D = speed_ops.prepare_mag_matrix(
+                clip.samples, clip.n_channels, center, scan.seconds,
+                self.sync_bits)
+            for quality, out_speed in speed_ops.compare_speed_batch(
+                    D, self.sync_bits, rels, center):
+                results.append(Score(out_speed, quality))
         self.scores = results
 
 

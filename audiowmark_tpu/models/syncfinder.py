@@ -230,6 +230,8 @@ def _search_fused_one(key: Key, wav_data, mode: SyncMode):
         return KeyResult(key=key)
 
     T = search_fused.bucket_frames(F)
+    if T > search_fused.MAX_FUSED_FRAMES:
+        return None             # staged tile path for very long chunks
     n_starts_s = sync_ops.SHIFTS * (T - 1 - sync_bits.total_frames)
 
     if clip:
@@ -296,6 +298,8 @@ def search_block_group(key_list: List[Key], wav_list) -> Optional[list]:
         true_frames = wav.samples.size // n_channels
         geom.append((true_frames, true_frames // Params.frame_size))
     T = max(search_fused.bucket_frames(f) for _, f in geom)
+    if T > search_fused.MAX_FUSED_FRAMES:
+        return None             # per-chunk staged path for very long chunks
     B = -(-len(wav_list) // n_dev) * n_dev
 
     per_chunk: list = [[] for _ in wav_list]

@@ -50,6 +50,11 @@ LM_DIST, LM_EXCL = 20, 4
 
 _BUCKET_FRAMES = 256        # ~5.9 s granularity of compiled shapes
 
+# single-dispatch program size cap: a 30-min chunk (~77.5k frames) makes
+# the fused kernel's HLO fail remote TPU compilation outright; chunks
+# beyond this go to the staged tile path whose shapes stay bounded
+MAX_FUSED_FRAMES = 16384    # ~6.3 min
+
 
 def bucket_frames(n_frames: int) -> int:
     return max(-(-n_frames // _BUCKET_FRAMES) * _BUCKET_FRAMES,

@@ -1,0 +1,286 @@
+"""Single-dispatch speed scan: resample + mag matrix + offset compare for a
+whole batch of center speeds in ONE jitted program.
+
+The staged path (ops/speed.py prepare_mag_matrix + compare_speed_batch,
+mirroring src/wmspeed.cc:204-382) moves ~70 MB host<->device per center
+speed (resample upload/download, window upload, mag-matrix download and
+re-upload) and pays one RPC per stage; scan1 alone visits 57 centers, which
+made detect_speed ~7 minutes through the remote-TPU tunnel.  Here the clip
+is uploaded once per scan and everything else stays on device:
+
+  per center (lax.map):
+    1. 16.48 fixed-point output positions p_j = j * (2/center), computed in
+       int32 limb arithmetic from host-exact per-tile anchors (TPU has no
+       int64/f64; the limbs make base indices exact to ~1e-10 relative, far
+       below the 1e-6 speed grid).
+    2. windowed-sinc resample at ratio center/2 (unified 96-tap kernel: the
+       extra taps past the Blackman window are exactly zero, so one tap
+       count serves every center in the scan range) with the reference's
+       input truncation (scan_seconds/center) applied as a gather mask.
+    3. hop-chunk window slices -> band-restricted windowed DFT (one matmul,
+       same trick as ops/sync) -> dB -> up/down band sums (mag matrix D).
+    4. the 16.16 fixed-point (state x entry) offset scan of
+       src/wmspeed.cc:270-382 for all relative speeds (exact int32 hi/lo
+       arithmetic, identical to ops/speed.compare_speed_batch).
+
+Only the (centers, rels) quality grid leaves the device.
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache, partial
+from typing import List, Sequence, Tuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ..params import Params
+from .speed import (OFFSET_SHIFT, SUB_FRAME, SUB_HOP, N_BANDS,
+                    SpeedSyncBits, _bit_onehot, _sub_dft_matrix)
+
+HALF_TAPS = 48            # covers half_width = 16/ratio for ratio > 1/3
+N_TAPS = 2 * HALF_TAPS
+T_TILE = 8192             # resample tile (bounds the gather intermediate)
+_ROW_BUCKET = 512
+_XPAD_BUCKET = 1 << 16
+_LOG2_DB = 3.01029995663981
+
+# the unified tap count is only valid while the Blackman window vanishes
+# inside it: half_width = HLEN/ratio <= HALF_TAPS  <=>  ratio >= 1/3
+MIN_RATIO = 16.0 / HALF_TAPS + 1e-9
+
+
+def _split48(v: int) -> Tuple[int, int, int]:
+    """(int_part, frac_hi16, frac_lo16) of a 16.32 fixed-point value."""
+    return (int(v) >> 32, (int(v) >> 16) & 0xFFFF, int(v) & 0xFFFF)
+
+
+def _offset_tables(rels: Sequence[float], sync_bits: SpeedSyncBits):
+    """The reference's exact 16.16 state/frame offsets as int32 hi/lo
+    (src/wmspeed.cc:270-382; identical to ops/speed.compare_speed_batch)."""
+    J = sync_bits.frame.size
+    steps_per_frame = Params.frame_size // Params.sync_search_step
+    pad_start = sync_bits.frames_per_block * steps_per_frame + steps_per_frame
+
+    frames = sync_bits.frame.astype(np.float64)
+    f_off = np.empty((len(rels), 3 * J), dtype=np.int64)
+    for i, rel in enumerate(rels):
+        inv = 1.0 / rel
+        for block in range(3):
+            val = ((block * sync_bits.frames_per_block + frames)
+                   * steps_per_frame * inv + 0.5) * (1 << OFFSET_SHIFT)
+            f_off[i, block * J:(block + 1) * J] = np.trunc(val)
+
+    offs = np.arange(-pad_start, 0, dtype=np.float64)
+    s_off = np.stack([
+        np.trunc(offs * ((1 << OFFSET_SHIFT) / rel)).astype(np.int64)
+        for rel in rels])
+
+    def split(v):
+        return ((v >> OFFSET_SHIFT).astype(np.int32),
+                (v & 0xFFFF).astype(np.int32))
+
+    return split(s_off) + split(f_off)
+
+
+@partial(jax.jit, static_argnames=("n_tiles", "rows_bucket"))
+def _speed_scan_core(xpad: jnp.ndarray,
+                     anchor_base: jnp.ndarray, anchor_f1: jnp.ndarray,
+                     anchor_f0: jnp.ndarray,
+                     inv_int: jnp.ndarray, inv_f1: jnp.ndarray,
+                     inv_f0: jnp.ndarray,
+                     in_limit: jnp.ndarray, rows: jnp.ndarray,
+                     fr: jnp.ndarray, half_width: jnp.ndarray,
+                     so_hi: jnp.ndarray, so_lo: jnp.ndarray,
+                     fo_hi: jnp.ndarray, fo_lo: jnp.ndarray,
+                     bit_onehot: jnp.ndarray, dftm: jnp.ndarray,
+                     v: jnp.ndarray, norm: jnp.ndarray,
+                     n_tiles: int, rows_bucket: int) -> jnp.ndarray:
+    """(K, R) best-over-offsets qualities.
+
+    xpad: (Npad, C) clip with HALF_TAPS-1 leading zeros; anchor_*: (K,
+    n_tiles) per-tile 16.32 position anchors; inv_*: (K,) 16.32 limbs of
+    1/ratio; in_limit/rows: (K,) truncation bound (xpad index) and valid
+    mag-matrix rows; so_*/fo_*: (R, states)/(R, 3J) 16.16 offset halves.
+    """
+    C = xpad.shape[1]
+    threeJ = fo_hi.shape[1]
+    J = threeJ // 3
+    taps = jnp.arange(N_TAPS, dtype=jnp.int32)
+    tap_rel = taps.astype(jnp.float32) - (HALF_TAPS - 1)
+
+    def per_center(args):
+        (ab, a1, a0, ii, i1, i0, ilim, rws, fr_c, hw_c) = args
+
+        def per_tile(tile_args):
+            ab_t, a1_t, a0_t = tile_args
+            k = jnp.arange(T_TILE, dtype=jnp.int32)
+            s0 = a0_t + k * i0
+            f0 = s0 & 0xFFFF
+            s1 = a1_t + k * i1 + (s0 >> 16)
+            f1 = s1 & 0xFFFF
+            base = ab_t + k * ii + (s1 >> 16)
+            frac = (f1.astype(jnp.float32) * 65536.0
+                    + f0.astype(jnp.float32)) * jnp.float32(2.0 ** -32)
+            idx = base[:, None] + taps[None, :]
+            valid = (idx < ilim).astype(jnp.float32)
+            g = xpad[jnp.clip(idx, 0, xpad.shape[0] - 1)]   # (T, taps, C)
+            t = frac[:, None] - tap_rel[None, :]
+            w_arg = t / hw_c
+            win = jnp.where(jnp.abs(w_arg) >= 1.0, 0.0,
+                            0.42 + 0.5 * jnp.cos(jnp.pi * w_arg)
+                            + 0.08 * jnp.cos(2 * jnp.pi * w_arg))
+            coeff = fr_c * jnp.sinc(t * fr_c) * win * valid
+            return jnp.einsum("jmc,jm->jc", g, coeff,
+                              preferred_element_type=jnp.float32)
+
+        y = jax.lax.map(per_tile, (ab, a1, a0)).reshape(n_tiles * T_TILE, C)
+
+        # windows r = y[r*128 : r*128+512] as 4 shifted hop-chunk slices
+        w = jnp.concatenate(
+            [y[i * SUB_HOP: i * SUB_HOP + rows_bucket * SUB_HOP]
+             .reshape(rows_bucket, SUB_HOP, C) for i in range(4)], axis=1)
+        spec = jnp.dot(w.transpose(0, 2, 1).reshape(rows_bucket * C,
+                                                    SUB_FRAME),
+                       dftm, preferred_element_type=jnp.float32)
+        abs2 = (spec[:, :N_BANDS] ** 2 + spec[:, N_BANDS:] ** 2
+                ).reshape(rows_bucket, C, N_BANDS)
+        db = jnp.where(abs2 > 0, jnp.log2(abs2) * jnp.float32(_LOG2_DB),
+                       jnp.float32(-96.0))
+        D = jnp.dot(jnp.sum(db, axis=1), v.T,
+                    preferred_element_type=jnp.float32)     # (rows, 2J)
+
+        cols = jnp.tile(jnp.arange(J, dtype=jnp.int32), 3)
+        swap = jnp.concatenate([jnp.zeros(J), jnp.ones(J), jnp.zeros(J)]
+                               ).astype(jnp.float32)
+        expect = (jnp.arange(6) & 1).astype(jnp.float32)[None, :]
+
+        def per_speed(sp_args):
+            s_hi, s_lo, f_hi, f_lo = sp_args
+            carry = (s_lo[:, None] + f_lo[None, :]) >> OFFSET_SHIFT
+            idx = s_hi[:, None] + f_hi[None, :] + carry     # (states, 3J)
+            mask = ((idx >= 0) & (idx < rws)).astype(jnp.float32)
+            idx = jnp.clip(idx, 0, D.shape[0] - 1)
+            u_raw = D[idx, 2 * cols[None, :]]
+            d_raw = D[idx, 2 * cols[None, :] + 1]
+            u = jnp.where(swap[None, :] > 0, d_raw, u_raw) * mask
+            d = jnp.where(swap[None, :] > 0, u_raw, d_raw) * mask
+            u_bit = jnp.dot(u, bit_onehot,
+                            preferred_element_type=jnp.float32)
+            d_bit = jnp.dot(d, bit_onehot,
+                            preferred_element_type=jnp.float32)
+            cnt = jnp.dot(mask, bit_onehot,
+                          preferred_element_type=jnp.float32)
+            raw_q = jnp.where((u_bit == 0) | (d_bit == 0), 0.0,
+                              jnp.where(u_bit < d_bit, 1.0 - u_bit / d_bit,
+                                        d_bit / u_bit - 1.0))
+            signed = jnp.where(expect > 0, raw_q, -raw_q)
+            total = jnp.sum(cnt, axis=1)
+            q = jnp.where(total > 0,
+                          jnp.abs(jnp.sum(signed * cnt, axis=1)
+                                  / jnp.maximum(total, 1.0)) * norm,
+                          0.0)
+            return jnp.max(q)
+
+        return jax.lax.map(per_speed, (so_hi, so_lo, fo_hi, fo_lo))
+
+    return jax.lax.map(per_center, (anchor_base, anchor_f1, anchor_f0,
+                                    inv_int, inv_f1, inv_f0,
+                                    in_limit, rows, fr, half_width))
+
+
+@lru_cache(maxsize=8)
+def _center_bucket(n: int) -> int:
+    """Next power of two: padded centers run the full masked pipeline, so
+    the pad must stay a small fraction (scan3 has K=1 — don't pad it)."""
+    b = 1
+    while b < n:
+        b *= 2
+    return b
+
+
+def speed_scan(clip_samples: np.ndarray, n_channels: int,
+               centers: Sequence[float], scan_seconds: float,
+               rels: Sequence[float], sync_bits: SpeedSyncBits
+               ) -> List[List[Tuple[float, float]]]:
+    """Qualities for every (center, rel) pair in one device dispatch.
+
+    Returns, per center, [(quality, center*rel)] in rel order — the same
+    values ops/speed.prepare_mag_matrix + compare_speed_batch produce
+    stage-by-stage.  Falls back by raising ValueError when a ratio is out
+    of the unified tap window's range (caller uses the staged path then).
+    """
+    rate = Params.mark_sample_rate
+    clip_frames = clip_samples.size // n_channels
+    K_true = len(centers)
+
+    geom = []
+    for center in centers:
+        ratio = center / 2.0
+        if ratio < MIN_RATIO or ratio >= 1.0:
+            raise ValueError("ratio %g outside fused speed-scan range"
+                             % ratio)
+        in_frames = min(clip_frames,
+                        int(round(rate * scan_seconds / center)))
+        out_frames = int(round(in_frames * ratio))
+        rows = ((out_frames - SUB_FRAME - 1) // SUB_HOP + 1
+                if out_frames > SUB_FRAME else 0)
+        geom.append((ratio, in_frames, out_frames, rows))
+
+    max_rows = max(r for _, _, _, r in geom)
+    if max_rows <= 0:
+        return [[(0.0, rel * c) for rel in rels] for c in centers]
+    rows_bucket = -(-max_rows // _ROW_BUCKET) * _ROW_BUCKET
+    y_len = rows_bucket * SUB_HOP + SUB_FRAME
+    n_tiles = -(-y_len // T_TILE)
+
+    K = _center_bucket(K_true)
+    anchor_base = np.zeros((K, n_tiles), dtype=np.int32)
+    anchor_f1 = np.zeros((K, n_tiles), dtype=np.int32)
+    anchor_f0 = np.zeros((K, n_tiles), dtype=np.int32)
+    inv_int = np.zeros(K, dtype=np.int32)
+    inv_f1 = np.zeros(K, dtype=np.int32)
+    inv_f0 = np.zeros(K, dtype=np.int32)
+    in_limit = np.zeros(K, dtype=np.int32)
+    rows_arr = np.zeros(K, dtype=np.int32)
+    fr = np.ones(K, dtype=np.float32)
+    half_width = np.full(K, HALF_TAPS, dtype=np.float32)
+
+    for i, (center, (ratio, in_frames, _, rows)) in enumerate(
+            zip(centers, geom)):
+        inv_fp = int(round((2.0 / center) * (1 << 32)))
+        inv_int[i], inv_f1[i], inv_f0[i] = _split48(inv_fp)
+        for t in range(n_tiles):
+            ab, a1, a0 = _split48(t * T_TILE * inv_fp)
+            anchor_base[i, t], anchor_f1[i, t], anchor_f0[i, t] = ab, a1, a0
+        in_limit[i] = in_frames + HALF_TAPS - 1
+        rows_arr[i] = rows
+        fr[i] = ratio
+        half_width[i] = 16.0 / ratio
+
+    x = clip_samples.astype(np.float32, copy=False).reshape(-1, n_channels)
+    lead = HALF_TAPS - 1
+    npad = -(-(lead + clip_frames + N_TAPS) // _XPAD_BUCKET) * _XPAD_BUCKET
+    xpad = np.zeros((npad, n_channels), dtype=np.float32)
+    xpad[lead: lead + clip_frames] = x
+
+    so_hi, so_lo, fo_hi, fo_lo = _offset_tables(tuple(rels), sync_bits)
+    norm = 1.0 / (min(Params.water_delta, 0.080) * 2.9)
+
+    q = np.asarray(_speed_scan_core(
+        jnp.asarray(xpad),
+        jnp.asarray(anchor_base), jnp.asarray(anchor_f1),
+        jnp.asarray(anchor_f0),
+        jnp.asarray(inv_int), jnp.asarray(inv_f1), jnp.asarray(inv_f0),
+        jnp.asarray(in_limit), jnp.asarray(rows_arr),
+        jnp.asarray(fr), jnp.asarray(half_width),
+        jnp.asarray(so_hi), jnp.asarray(so_lo),
+        jnp.asarray(fo_hi), jnp.asarray(fo_lo),
+        jnp.asarray(_bit_onehot(sync_bits)), jnp.asarray(_sub_dft_matrix()),
+        jnp.asarray(sync_bits.v), jnp.float32(norm),
+        n_tiles, rows_bucket))
+
+    return [[(float(q[i, r]), rel * center) for r, rel in enumerate(rels)]
+            for i, center in enumerate(centers[:K_true])]
