@@ -46,6 +46,13 @@ T_TILE = 8192             # resample tile (bounds the gather intermediate)
 _ROW_BUCKET = 512
 _XPAD_BUCKET = 1 << 16
 _LOG2_DB = 3.01029995663981
+# Max resampled output samples per device dispatch.  The remote TPU worker
+# kills (and restarts!) itself when ONE program runs for minutes — a 57-center
+# scan1 in a single dispatch is ~216 s of device time and reliably crashed the
+# axon worker, poisoning every later dispatch in the process.  8 scan1
+# centers ≈ 27 s/dispatch, comfortably inside the watchdog; centers are
+# chunked to stay under this budget (the clip upload is still paid once).
+_DISPATCH_SAMPLE_BUDGET = 8 * 69 * T_TILE
 
 # the unified tap count is only valid while the Blackman window vanishes
 # inside it: half_width = HLEN/ratio <= HALF_TAPS  <=>  ratio >= 1/3
@@ -205,12 +212,16 @@ def speed_scan(clip_samples: np.ndarray, n_channels: int,
                centers: Sequence[float], scan_seconds: float,
                rels: Sequence[float], sync_bits: SpeedSyncBits
                ) -> List[List[Tuple[float, float]]]:
-    """Qualities for every (center, rel) pair in one device dispatch.
+    """Qualities for every (center, rel) pair, clip uploaded once.
 
-    Returns, per center, [(quality, center*rel)] in rel order — the same
-    values ops/speed.prepare_mag_matrix + compare_speed_batch produce
-    stage-by-stage.  Falls back by raising ValueError when a ratio is out
-    of the unified tap window's range (caller uses the staged path then).
+    Centers are dispatched in watchdog-bounded groups (see
+    _DISPATCH_SAMPLE_BUDGET); all device constants are uploaded once and
+    reused across groups.  Returns, per center, [(quality, center*rel)] in
+    rel order — the same values ops/speed.prepare_mag_matrix +
+    compare_speed_batch produce stage-by-stage.  Falls back by raising
+    ValueError when a ratio is out of the unified tap window's range
+    (caller uses the staged path then); the geometry check runs before any
+    device work so the fallback never sees a half-dispatched scan.
     """
     rate = Params.mark_sample_rate
     clip_frames = clip_samples.size // n_channels
@@ -236,30 +247,6 @@ def speed_scan(clip_samples: np.ndarray, n_channels: int,
     y_len = rows_bucket * SUB_HOP + SUB_FRAME
     n_tiles = -(-y_len // T_TILE)
 
-    K = _center_bucket(K_true)
-    anchor_base = np.zeros((K, n_tiles), dtype=np.int32)
-    anchor_f1 = np.zeros((K, n_tiles), dtype=np.int32)
-    anchor_f0 = np.zeros((K, n_tiles), dtype=np.int32)
-    inv_int = np.zeros(K, dtype=np.int32)
-    inv_f1 = np.zeros(K, dtype=np.int32)
-    inv_f0 = np.zeros(K, dtype=np.int32)
-    in_limit = np.zeros(K, dtype=np.int32)
-    rows_arr = np.zeros(K, dtype=np.int32)
-    fr = np.ones(K, dtype=np.float32)
-    half_width = np.full(K, HALF_TAPS, dtype=np.float32)
-
-    for i, (center, (ratio, in_frames, _, rows)) in enumerate(
-            zip(centers, geom)):
-        inv_fp = int(round((2.0 / center) * (1 << 32)))
-        inv_int[i], inv_f1[i], inv_f0[i] = _split48(inv_fp)
-        for t in range(n_tiles):
-            ab, a1, a0 = _split48(t * T_TILE * inv_fp)
-            anchor_base[i, t], anchor_f1[i, t], anchor_f0[i, t] = ab, a1, a0
-        in_limit[i] = in_frames + HALF_TAPS - 1
-        rows_arr[i] = rows
-        fr[i] = ratio
-        half_width[i] = 16.0 / ratio
-
     x = clip_samples.astype(np.float32, copy=False).reshape(-1, n_channels)
     lead = HALF_TAPS - 1
     npad = -(-(lead + clip_frames + N_TAPS) // _XPAD_BUCKET) * _XPAD_BUCKET
@@ -269,18 +256,57 @@ def speed_scan(clip_samples: np.ndarray, n_channels: int,
     so_hi, so_lo, fo_hi, fo_lo = _offset_tables(tuple(rels), sync_bits)
     norm = 1.0 / (min(Params.water_delta, 0.080) * 2.9)
 
-    q = np.asarray(_speed_scan_core(
-        jnp.asarray(xpad),
-        jnp.asarray(anchor_base), jnp.asarray(anchor_f1),
-        jnp.asarray(anchor_f0),
-        jnp.asarray(inv_int), jnp.asarray(inv_f1), jnp.asarray(inv_f0),
-        jnp.asarray(in_limit), jnp.asarray(rows_arr),
-        jnp.asarray(fr), jnp.asarray(half_width),
-        jnp.asarray(so_hi), jnp.asarray(so_lo),
-        jnp.asarray(fo_hi), jnp.asarray(fo_lo),
-        jnp.asarray(_bit_onehot(sync_bits)), jnp.asarray(_sub_dft_matrix()),
-        jnp.asarray(sync_bits.v), jnp.float32(norm),
-        n_tiles, rows_bucket))
+    # constants uploaded once, reused by every group dispatch
+    xpad_d = jax.device_put(xpad)
+    so_hi_d, so_lo_d = jax.device_put(so_hi), jax.device_put(so_lo)
+    fo_hi_d, fo_lo_d = jax.device_put(fo_hi), jax.device_put(fo_lo)
+    onehot_d = jax.device_put(_bit_onehot(sync_bits))
+    dftm_d = jax.device_put(_sub_dft_matrix())
+    v_d = jax.device_put(sync_bits.v)
 
-    return [[(float(q[i, r]), rel * center) for r, rel in enumerate(rels)]
-            for i, center in enumerate(centers[:K_true])]
+    group = max(1, min(8, _DISPATCH_SAMPLE_BUDGET // (n_tiles * T_TILE)))
+    per_center_rows: List[List[Tuple[float, float]]] = []
+    for g0 in range(0, K_true, group):
+        gc = centers[g0: g0 + group]
+        gg = geom[g0: g0 + group]
+        K = _center_bucket(len(gc)) if len(gc) < group else group
+        anchor_base = np.zeros((K, n_tiles), dtype=np.int32)
+        anchor_f1 = np.zeros((K, n_tiles), dtype=np.int32)
+        anchor_f0 = np.zeros((K, n_tiles), dtype=np.int32)
+        inv_int = np.zeros(K, dtype=np.int32)
+        inv_f1 = np.zeros(K, dtype=np.int32)
+        inv_f0 = np.zeros(K, dtype=np.int32)
+        in_limit = np.zeros(K, dtype=np.int32)
+        rows_arr = np.zeros(K, dtype=np.int32)
+        fr = np.ones(K, dtype=np.float32)
+        half_width = np.full(K, HALF_TAPS, dtype=np.float32)
+
+        for i, (center, (ratio, in_frames, _, rows)) in enumerate(
+                zip(gc, gg)):
+            inv_fp = int(round((2.0 / center) * (1 << 32)))
+            inv_int[i], inv_f1[i], inv_f0[i] = _split48(inv_fp)
+            for t in range(n_tiles):
+                ab, a1, a0 = _split48(t * T_TILE * inv_fp)
+                anchor_base[i, t] = ab
+                anchor_f1[i, t] = a1
+                anchor_f0[i, t] = a0
+            in_limit[i] = in_frames + HALF_TAPS - 1
+            rows_arr[i] = rows
+            fr[i] = ratio
+            half_width[i] = 16.0 / ratio
+
+        q = np.asarray(_speed_scan_core(
+            xpad_d,
+            jnp.asarray(anchor_base), jnp.asarray(anchor_f1),
+            jnp.asarray(anchor_f0),
+            jnp.asarray(inv_int), jnp.asarray(inv_f1), jnp.asarray(inv_f0),
+            jnp.asarray(in_limit), jnp.asarray(rows_arr),
+            jnp.asarray(fr), jnp.asarray(half_width),
+            so_hi_d, so_lo_d, fo_hi_d, fo_lo_d,
+            onehot_d, dftm_d, v_d, jnp.float32(norm),
+            n_tiles, rows_bucket))
+        per_center_rows.extend(
+            [(float(q[i, r]), rel * center) for r, rel in enumerate(rels)]
+            for i, center in enumerate(gc))
+
+    return per_center_rows

@@ -382,20 +382,76 @@ def _try(name, fn, default):
         return default
 
 
+# name -> zero-arg phase fn; module-level so a SPAWNED child (which
+# re-imports this module) can resolve the phase by name
+_PHASES = {
+    "io_floor": bench_io_floor,
+    "production": bench_production,
+    "detect_speed": bench_detect_speed,
+    "chunked_get": bench_chunked_get,
+    "fused": bench_fused,
+    "batch_detect": bench_batch_detect,
+}
+
+
+def _phase_worker(name, conn):
+    """Child entry (spawn): run one phase, ship the result over the pipe."""
+    try:
+        conn.send(("ok", _PHASES[name]()))
+    except Exception as e:          # noqa: BLE001 - reported to the parent
+        import traceback
+        conn.send(("err", "%s\n%s" % (e, traceback.format_exc())))
+    finally:
+        conn.close()
+
+
+def _try_isolated(name, default, timeout_s=2400):
+    """Run one bench phase in its OWN spawned process.  A crashed remote-TPU
+    worker leaves the client's runtime permanently UNAVAILABLE — in round 2
+    one detect_speed kernel fault zeroed every later phase of the bench.
+    Process isolation means each phase gets a fresh client (the worker
+    itself restarts server-side within seconds)."""
+    import multiprocessing as mp
+
+    try:
+        ctx = mp.get_context("spawn")
+        parent, child = ctx.Pipe(duplex=False)
+        p = ctx.Process(target=_phase_worker, args=(name, child))
+        p.start()
+        child.close()
+        result = default
+        if parent.poll(timeout_s):
+            status, payload = parent.recv()
+            if status == "ok":
+                result = payload
+            else:
+                print("bench phase %s FAILED: %s" % (name, payload),
+                      file=sys.stderr)
+        else:
+            print("bench phase %s TIMED OUT after %ds" % (name, timeout_s),
+                  file=sys.stderr)
+            p.terminate()
+        p.join(60)
+        if p.is_alive():
+            p.kill()
+            p.join()
+        return result
+    except Exception:               # spawn unavailable -> in-process fallback
+        return _try(name, _PHASES[name], default)
+
+
 def main():
     # production first: the sustained fused phase can throttle the remote
     # tunnel for a while, and the io floor should be sampled adjacent to
     # the production runs it contextualizes
-    io_floor_factor, up_mbs, down_mbs, spread = _try(
-        "io_floor", bench_io_floor, (0.0, 0.0, 0.0, (0, 0, 0, 0)))
-    prod_factor, add_s, get_s, phases = _try(
-        "production", bench_production, (0.0, 0.0, 0.0, {}))
-    speed_s, speed_val = _try("detect_speed", bench_detect_speed,
-                              (0.0, 0.0))
-    chunked_factor = _try("chunked_get", bench_chunked_get, 0.0)
-    fused_factor, compile_s, mfu = _try("fused", bench_fused,
-                                        (0.0, 0.0, -1.0))
-    batch_factor = _try("batch_detect", bench_batch_detect, 0.0)
+    io_floor_factor, up_mbs, down_mbs, spread = _try_isolated(
+        "io_floor", (0.0, 0.0, 0.0, (0, 0, 0, 0)))
+    prod_factor, add_s, get_s, phases = _try_isolated(
+        "production", (0.0, 0.0, 0.0, {}))
+    speed_s, speed_val = _try_isolated("detect_speed", (0.0, 0.0))
+    chunked_factor = _try_isolated("chunked_get", 0.0)
+    fused_factor, compile_s, mfu = _try_isolated("fused", (0.0, 0.0, -1.0))
+    batch_factor = _try_isolated("batch_detect", 0.0)
     result = {
         "metric": "add_get_realtime_factor",
         "value": round(prod_factor, 1),
