@@ -65,6 +65,19 @@ def report(result_set: ResultSet, time_length: int, orig_bits) -> int:
     return 0
 
 
+def _load_one(loader: WavChunkLoader):
+    """Advance the loader one chunk; (wav snapshot, time_offset) or None at
+    stream end.  The snapshot pairs the samples array with the offset
+    atomically — `load_next_chunk` replaces (never mutates) the array, so a
+    snapshot stays valid while later chunks load."""
+    loader.load_next_chunk()
+    if loader.done():
+        return None
+    wav_data = loader.wav_data()
+    assert wav_data.sample_rate == Params.mark_sample_rate
+    return (wav_data.with_samples(wav_data.samples), loader.time_offset())
+
+
 def get_watermark(key_list: List[Key], infile: str, orig_pattern: str) -> int:
     result_set = ResultSet()
 
@@ -74,6 +87,9 @@ def get_watermark(key_list: List[Key], infile: str, orig_pattern: str) -> int:
         if parsed is None:
             return 1
         orig_bitvec = list(parsed)
+
+    import os
+    import threading
 
     from ..utils import prof
     from .syncfinder import group_device_count, search_block_group
@@ -86,27 +102,66 @@ def get_watermark(key_list: List[Key], infile: str, orig_pattern: str) -> int:
             or Params.try_speed > 0):
         group_cap = group_device_count()
 
+    # chunk prefetch: while a chunk group decodes, a host thread loads the
+    # next chunk (disk read / codec decode / resample are pure host work)
+    # and starts its asynchronous device upload, so a multi-chunk file
+    # overlaps chunk N+1's load+transfer under chunk N's search+decode.
+    # The reference gets the same effect from its ThreadPool around the
+    # chunk loop (src/wmget.cc:886-939 drives chunks serially; decode
+    # threads run underneath).  AUDIOWMARK_PREFETCH=0 disables.
+    prefetch_on = os.environ.get("AUDIOWMARK_PREFETCH", "1") not in (
+        "0", "false")
+    pending: list = []        # one result or exception from the thread
+    thread = None
+
+    def _prefetch_body():
+        try:
+            item = _load_one(loader)
+            if item is not None:
+                from ..utils.devcache import device_audio
+                device_audio(item[0].samples)   # async upload starts now
+            pending.append(item)
+        except BaseException as e:   # re-raised on the main thread
+            pending.append(e)
+
+    def _take_next():
+        nonlocal thread
+        if thread is not None:
+            with prof.phase("get.load_join"):
+                thread.join()
+            thread = None
+            item = pending.pop()
+            if isinstance(item, BaseException):
+                raise item
+            return item
+        with prof.phase("get.load"):
+            return _load_one(loader)
+
     first_chunk = True
     loader = WavChunkLoader(infile)
-    while not loader.done():
+    end_of_stream = False
+    while not end_of_stream:
         chunks = []           # [(wav_data snapshot, time_offset)]
         budget = 500_000_000  # samples held at once (~2 GB f32)
-        while not loader.done() and len(chunks) < group_cap:
+        while len(chunks) < group_cap:
             try:
-                with prof.phase("get.load"):
-                    loader.load_next_chunk()
+                item = _take_next()
             except (StreamError, OSError) as e:
                 error("audiowmark: error loading %s: %s\n" % (infile, e))
                 return 1
-            if loader.done():
+            if item is None:
+                end_of_stream = True
                 break
-            wav_data = loader.wav_data()
-            assert wav_data.sample_rate == Params.mark_sample_rate
-            budget -= wav_data.samples.size
-            chunks.append((wav_data.with_samples(wav_data.samples),
-                           loader.time_offset()))
+            budget -= item[0].samples.size
+            chunks.append(item)
             if budget <= 0:
                 break
+        if not chunks:
+            break
+
+        if prefetch_on and not end_of_stream:
+            thread = threading.Thread(target=_prefetch_body, daemon=True)
+            thread.start()
 
         presearched = None
         if len(chunks) > 1:
