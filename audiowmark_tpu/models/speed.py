@@ -141,7 +141,9 @@ class _KeySearch:
                 for p in range(-scan.n_steps, scan.n_steps + 1)]
         try:
             # whole scan in ONE device dispatch (clip uploaded once);
-            # raises ValueError for ratios outside the unified tap window
+            # raises ValueError for ratios outside the unified tap window,
+            # JaxRuntimeError when the remote compile/dispatch faults —
+            # either way the staged per-center path below is the fallback
             from ..ops import speed_fused
             per_center = speed_fused.speed_scan(
                 clip.samples, clip.n_channels, centers, scan.seconds,
@@ -150,6 +152,8 @@ class _KeySearch:
                            for row in per_center for q, sp in row]
             return
         except ValueError:
+            pass
+        except RuntimeError:    # JaxRuntimeError subclasses RuntimeError
             pass
         results: List[Score] = []
         for center in centers:

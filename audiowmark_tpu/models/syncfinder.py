@@ -136,20 +136,49 @@ def _fake_sync(key_list: List[Key], wav_data, mode: SyncMode) -> List[KeyResult]
             for key in key_list]
 
 
+# fused-search health: a remote-TPU compile/dispatch fault (e.g. the tunnel's
+# compile RPC dropping mid-stream on a large HLO) must degrade to the staged
+# multi-dispatch path, not kill the CLI.  One retry covers transient drops;
+# a second failure poisons the fused path for the process lifetime.
+_fused_runtime_broken = False
+
+
+def _runtime_error_types():
+    import jax
+    try:
+        return (jax.errors.JaxRuntimeError,)
+    except AttributeError:      # pragma: no cover - older jax
+        return (RuntimeError,)
+
+
 def search(key_list: List[Key], wav_data, mode: SyncMode) -> List[KeyResult]:
     """Candidate block starts per key.  Production path: the fused single-
     dispatch search kernel (ops/search_fused.py) with the exact selection
     semantics applied to its fetched (K,) outputs; falls back to the staged
-    multi-dispatch path when the candidate slots saturate or the stream is
-    too short for the kernel."""
+    multi-dispatch path when the candidate slots saturate, the stream is
+    too short for the kernel, or the fused compile/dispatch fails at
+    runtime."""
+    global _fused_runtime_broken
     if Params.test_no_sync:
         return _fake_sync(key_list, wav_data, mode)
 
     from ..utils import prof
+    from ..utils.log import warning
     results: List[KeyResult] = []
     with prof.phase("get.search_%s" % mode.name.lower()):
+        if _fused_runtime_broken:
+            return search_staged(key_list, wav_data, mode)
         for key in key_list:
-            r = _search_fused_one(key, wav_data, mode)
+            try:
+                r = _search_fused_one(key, wav_data, mode)
+            except _runtime_error_types() as e:
+                try:            # one retry: tunnel drops are often transient
+                    r = _search_fused_one(key, wav_data, mode)
+                except _runtime_error_types():
+                    _fused_runtime_broken = True
+                    warning("audiowmark: fused sync search unavailable "
+                            "(%s); using the staged path\n" % e)
+                    return search_staged(key_list, wav_data, mode)
             if r is None:
                 return search_staged(key_list, wav_data, mode)
             results.append(r)
@@ -287,7 +316,7 @@ def search_block_group(key_list: List[Key], wav_list) -> Optional[list]:
     `search(key_list, chunk, BLOCK)` per chunk, or None if any chunk needs
     the fallback path (saturated slots, degenerate sizes, --test-no-sync)
     — the caller then decodes chunk-by-chunk as usual."""
-    if Params.test_no_sync or len(wav_list) < 2:
+    if Params.test_no_sync or len(wav_list) < 2 or _fused_runtime_broken:
         return None
     from ..ops import search_fused
 
@@ -331,8 +360,11 @@ def search_block_group(key_list: List[Key], wav_list) -> Optional[list]:
                 tables, False, T, n_channels, K, B, n_dev)
             if searcher is None:
                 return None
-            out = searcher(xs, n_starts, frames, np.zeros(B, np.int32),
-                           sil_last)
+            try:
+                out = searcher(xs, n_starts, frames, np.zeros(B, np.int32),
+                               sil_last)
+            except _runtime_error_types():
+                return None     # caller decodes per chunk (its own fallback)
             out_np = {k: np.asarray(v) for k, v in out.items()}
             key_rs = []
             for i in range(len(wav_list)):

@@ -405,6 +405,52 @@ def _phase_worker(name, conn):
         conn.close()
 
 
+def _probe_tunnel(conn):
+    """Child entry: trivial fresh jit through the tunnel; sends when done."""
+    try:
+        import jax as _jax
+        import jax.numpy as _jnp
+        float(_jax.jit(lambda a: (a * 2).sum())(_jnp.ones(128)))
+        conn.send("ok")
+    except Exception as e:      # noqa: BLE001 - reported to the parent
+        conn.send(str(e))
+    finally:
+        conn.close()
+
+
+def _wait_tunnel_healthy(max_wait_s=240):
+    """Block until a trivial jit round-trips through the TPU tunnel.
+
+    A crashed remote compile (observed: the compile RPC stream dropping on a
+    large HLO) leaves the server sick for a while; the NEXT phase's first
+    compile then hangs until its whole timeout.  Gating each phase on a
+    cheap isolated probe turns that cascade into a bounded wait."""
+    import multiprocessing as mp
+
+    deadline = time.monotonic() + max_wait_s
+    while time.monotonic() < deadline:
+        try:
+            ctx = mp.get_context("spawn")
+            parent, child = ctx.Pipe(duplex=False)
+            p = ctx.Process(target=_probe_tunnel, args=(child,))
+            p.start()
+            child.close()
+            ok = parent.poll(120) and parent.recv() == "ok"
+            p.join(10)
+            if p.is_alive():
+                p.kill()
+                p.join()
+            if ok:
+                return True
+        except Exception:       # spawn unavailable: skip the gate
+            return True
+        print("bench: tunnel unhealthy, retrying probe", file=sys.stderr)
+        time.sleep(10)
+    print("bench: tunnel still unhealthy after %ds" % max_wait_s,
+          file=sys.stderr)
+    return False
+
+
 def _try_isolated(name, default, timeout_s=2400):
     """Run one bench phase in its OWN spawned process.  A crashed remote-TPU
     worker leaves the client's runtime permanently UNAVAILABLE — in round 2
@@ -441,17 +487,31 @@ def _try_isolated(name, default, timeout_s=2400):
 
 
 def main():
-    # production first: the sustained fused phase can throttle the remote
-    # tunnel for a while, and the io floor should be sampled adjacent to
-    # the production runs it contextualizes
-    io_floor_factor, up_mbs, down_mbs, spread = _try_isolated(
-        "io_floor", (0.0, 0.0, 0.0, (0, 0, 0, 0)))
-    prod_factor, add_s, get_s, phases = _try_isolated(
-        "production", (0.0, 0.0, 0.0, {}))
-    speed_s, speed_val = _try_isolated("detect_speed", (0.0, 0.0))
-    chunked_factor = _try_isolated("chunked_get", 0.0)
-    fused_factor, compile_s, mfu = _try_isolated("fused", (0.0, 0.0, -1.0))
-    batch_factor = _try_isolated("batch_detect", 0.0)
+    # Phase order: the headline metrics (io floor + production + fused +
+    # batch) land FIRST so a wedged later phase cannot starve them; each
+    # phase is gated on a tunnel-health probe (one crashed remote compile
+    # leaves the server sick for a while — observed to hang the next
+    # phase's compile until its whole timeout) and on an overall budget.
+    budget_s = float(os.environ.get("BENCH_BUDGET_S", "5400"))
+    t_start = time.monotonic()
+
+    def run(name, default, timeout_s):
+        left = budget_s - (time.monotonic() - t_start)
+        if left < 120:
+            print("bench: budget exhausted, skipping %s" % name,
+                  file=sys.stderr)
+            return default
+        _wait_tunnel_healthy()
+        return _try_isolated(name, default, min(timeout_s, left))
+
+    io_floor_factor, up_mbs, down_mbs, spread = run(
+        "io_floor", (0.0, 0.0, 0.0, (0, 0, 0, 0)), 600)
+    prod_factor, add_s, get_s, phases = run(
+        "production", (0.0, 0.0, 0.0, {}), 2400)
+    fused_factor, compile_s, mfu = run("fused", (0.0, 0.0, -1.0), 1800)
+    batch_factor = run("batch_detect", 0.0, 1200)
+    speed_s, speed_val = run("detect_speed", (0.0, 0.0), 1800)
+    chunked_factor = run("chunked_get", 0.0, 1800)
     result = {
         "metric": "add_get_realtime_factor",
         "value": round(prod_factor, 1),
