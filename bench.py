@@ -493,9 +493,15 @@ def main():
     # leaves the server sick for a while — observed to hang the next
     # phase's compile until its whole timeout) and on an overall budget.
     budget_s = float(os.environ.get("BENCH_BUDGET_S", "5400"))
+    # BENCH_PHASES=production,io_floor runs a subset (dev iteration aid);
+    # skipped phases report their defaults
+    only = os.environ.get("BENCH_PHASES", "")
+    only_set = {p.strip() for p in only.split(",") if p.strip()}
     t_start = time.monotonic()
 
     def run(name, default, timeout_s):
+        if only_set and name not in only_set:
+            return default
         left = budget_s - (time.monotonic() - t_start)
         if left < 120:
             print("bench: budget exhausted, skipping %s" % name,
