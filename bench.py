@@ -19,9 +19,10 @@ Three numbers:
 * io_floor_factor — the transport-only ceiling of moving the audio
   host<->device 3x on this link; the production number is bounded by it.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...extras}.
-vs_baseline is measured against the >=1000x-realtime north star
-(BASELINE.json).
+Prints the cumulative JSON line {"metric", "value", "unit", "vs_baseline",
+...extras} after EVERY completed phase (the driver takes the LAST line, so
+a mid-run kill still reports every phase that finished).  vs_baseline is
+measured against the >=1000x-realtime north star (BASELINE.json).
 """
 
 import contextlib
@@ -418,7 +419,7 @@ def _probe_tunnel(conn):
         conn.close()
 
 
-def _wait_tunnel_healthy(max_wait_s=240):
+def _wait_tunnel_healthy(max_wait_s=90):
     """Block until a trivial jit round-trips through the TPU tunnel.
 
     A crashed remote compile (observed: the compile RPC stream dropping on a
@@ -435,7 +436,7 @@ def _wait_tunnel_healthy(max_wait_s=240):
             p = ctx.Process(target=_probe_tunnel, args=(child,))
             p.start()
             child.close()
-            ok = parent.poll(120) and parent.recv() == "ok"
+            ok = parent.poll(45) and parent.recv() == "ok"
             p.join(10)
             if p.is_alive():
                 p.kill()
@@ -492,45 +493,62 @@ def main():
     # phase is gated on a tunnel-health probe (one crashed remote compile
     # leaves the server sick for a while — observed to hang the next
     # phase's compile until its whole timeout) and on an overall budget.
-    budget_s = float(os.environ.get("BENCH_BUDGET_S", "5400"))
+    #
+    # The FULL cumulative JSON result is (re)printed after EVERY phase —
+    # last line wins — so a driver that kills the bench mid-run still
+    # harvests every phase that completed (round 3 lost its entire perf
+    # story to a rc=124 kill during detect_speed, BENCH_r03.json).
+    budget_s = float(os.environ.get("BENCH_BUDGET_S", "2700"))
     # BENCH_PHASES=production,io_floor runs a subset (dev iteration aid);
-    # skipped phases report their defaults
+    # skipped phases report their defaults and are named in the JSON
     only = os.environ.get("BENCH_PHASES", "")
     only_set = {p.strip() for p in only.split(",") if p.strip()}
+    unknown = only_set - set(_PHASES)
+    if unknown:
+        print("bench: unknown BENCH_PHASES %s (known: %s)"
+              % (sorted(unknown), sorted(_PHASES)), file=sys.stderr)
+        sys.exit(2)
     t_start = time.monotonic()
+    skipped = []
+
+    result = {
+        "metric": "add_get_realtime_factor",
+        "value": 0.0,
+        "unit": "x_realtime_44k1_stereo",
+        "vs_baseline": 0.0,
+        "audio_seconds": AUDIO_SECONDS,
+        "skipped_phases": skipped,     # mutated in place as phases skip
+    }
+
+    def emit():
+        print(json.dumps(result), flush=True)
 
     def run(name, default, timeout_s):
         if only_set and name not in only_set:
+            print("bench: phase %s skipped (BENCH_PHASES)" % name,
+                  file=sys.stderr)
+            skipped.append(name)
             return default
         left = budget_s - (time.monotonic() - t_start)
         if left < 120:
             print("bench: budget exhausted, skipping %s" % name,
                   file=sys.stderr)
+            skipped.append(name)
             return default
         _wait_tunnel_healthy()
         return _try_isolated(name, default, min(timeout_s, left))
 
     io_floor_factor, up_mbs, down_mbs, spread = run(
-        "io_floor", (0.0, 0.0, 0.0, (0, 0, 0, 0)), 600)
-    prod_factor, add_s, get_s, phases = run(
-        "production", (0.0, 0.0, 0.0, {}), 2400)
-    fused_factor, compile_s, mfu = run("fused", (0.0, 0.0, -1.0), 1800)
-    batch_factor = run("batch_detect", 0.0, 1200)
-    speed_s, speed_val = run("detect_speed", (0.0, 0.0), 1800)
-    chunked_factor = run("chunked_get", 0.0, 1800)
-    result = {
-        "metric": "add_get_realtime_factor",
-        "value": round(prod_factor, 1),
-        "unit": "x_realtime_44k1_stereo",
-        "vs_baseline": round(prod_factor / 1000.0, 3),
-        "fused_kernel_factor": round(fused_factor, 1),
-        "audio_seconds": AUDIO_SECONDS,
-    }
-    if mfu >= 0:
-        result["fused_mfu"] = round(mfu, 4)
+        "io_floor", (0.0, 0.0, 0.0, (0, 0, 0, 0)), 420)
     result["io_floor_factor"] = round(io_floor_factor, 1)
     result["link_mb_s"] = [round(up_mbs, 1), round(down_mbs, 1)]
     result["link_mb_s_spread"] = [round(v, 1) for v in spread]
+    emit()
+
+    prod_factor, add_s, get_s, phases = run(
+        "production", (0.0, 0.0, 0.0, {}), 1200)
+    result["value"] = round(prod_factor, 1)
+    result["vs_baseline"] = round(prod_factor / 1000.0, 3)
     # the file API must move the audio over the host link 3x; through the
     # remote-TPU tunnel that bound (io_floor_factor) — not compute — caps
     # the production number.  This ratio shows how close the implementation
@@ -541,11 +559,27 @@ def main():
     result["prod_add_s"] = round(add_s, 2)
     result["prod_get_s"] = round(get_s, 2)
     result["prod_phases_s"] = phases       # mean seconds per iteration
+    emit()
+
+    fused_factor, compile_s, mfu = run("fused", (0.0, 0.0, -1.0), 900)
+    result["fused_kernel_factor"] = round(fused_factor, 1)
+    if mfu >= 0:
+        result["fused_mfu"] = round(mfu, 4)
+    emit()
+
+    batch_factor = run("batch_detect", 0.0, 600)
+    result["batch_detect_factor"] = round(batch_factor, 1)
+    emit()
+
+    speed_s, speed_val = run("detect_speed", (0.0, 0.0), 900)
     result["detect_speed_s"] = round(speed_s, 2)
     result["detect_speed_value"] = round(speed_val, 4)
+    emit()
+
+    chunked_factor = run("chunked_get", 0.0, 900)
     result["chunked_get_factor"] = round(chunked_factor, 1)
-    result["batch_detect_factor"] = round(batch_factor, 1)
-    print(json.dumps(result))
+    emit()
+
     print("compile_s=%.1f fused=%.0fx production=%.0fx (add %.1fs get %.1fs)"
           " batch=%.0fx chunked=%.0fx speed=%.1fs "
           "mfu=%.4f io_floor=%.0fx (link %.0f/%.0f MB/s)"
