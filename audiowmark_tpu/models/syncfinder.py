@@ -201,6 +201,22 @@ def _fused_k_for(T: int, frames_per_block: int, n_starts_s: int,
     return K, K >= n_starts_s
 
 
+def _finalize_scores(key: Key, refined: List[_SearchScore]) -> KeyResult:
+    """Refined candidates -> threshold/n-best -> index-ordered Scores
+    (the tail of src/syncfinder.cc:393-458)."""
+    refined.sort(key=lambda s: s.index)
+    refined = _select_threshold_and_n_best(refined, Params.sync_threshold2)
+    refined.sort(key=lambda s: s.index)
+
+    result = KeyResult(key=key)
+    for s in refined:
+        qd = s.raw_quality - s.local_mean
+        result.sync_scores.append(Score(
+            index=s.index, quality=abs(qd),
+            block_type=ConvBlockType.a if qd > 0 else ConvBlockType.b))
+    return result
+
+
 def _select_from_fused(key: Key, out_np: dict, K: int, clip: bool,
                        complete: bool = False):
     """Exact CLI selection from the fused kernel's fetched (K,) outputs;
@@ -225,17 +241,7 @@ def _select_from_fused(key: Key, out_np: dict, K: int, clip: bool,
     refined = [_SearchScore(index=int(rpos[i]), raw_quality=float(rq[i]),
                             local_mean=float(mean[i]))
                for i in range(keep)]
-    refined.sort(key=lambda s: s.index)
-    refined = _select_threshold_and_n_best(refined, Params.sync_threshold2)
-    refined.sort(key=lambda s: s.index)
-
-    result = KeyResult(key=key)
-    for s in refined:
-        qd = s.raw_quality - s.local_mean
-        result.sync_scores.append(Score(
-            index=s.index, quality=abs(qd),
-            block_type=ConvBlockType.a if qd > 0 else ConvBlockType.b))
-    return result
+    return _finalize_scores(key, refined)
 
 
 def _search_fused_one(key: Key, wav_data, mode: SyncMode):
@@ -260,7 +266,10 @@ def _search_fused_one(key: Key, wav_data, mode: SyncMode):
 
     T = search_fused.bucket_frames(F)
     if T > search_fused.MAX_FUSED_FRAMES:
-        return None             # staged tile path for very long chunks
+        if clip:
+            return None         # clips are short; oversize -> staged path
+        return _search_fused_tiled(key, wav_data, tables, sync_bits,
+                                   n_starts_true)
     n_starts_s = sync_ops.SHIFTS * (T - 1 - sync_bits.total_frames)
 
     if clip:
@@ -286,7 +295,8 @@ def _search_fused_one(key: Key, wav_data, mode: SyncMode):
         if searcher is None:
             return None
         out = searcher(x, np.int32(n_starts_true), np.int32(true_frames),
-                       np.int32(sil_first), np.int32(sil_last))
+                       np.int32(sil_first), np.int32(sil_last),
+                       np.int32(0), np.int32(n_starts_s))
         out_np = {k: np.asarray(v) for k, v in out.items()}
         r = _select_from_fused(key, out_np, K, clip, complete)
         if r is not None:
@@ -294,6 +304,106 @@ def _search_fused_one(key: Key, wav_data, mode: SyncMode):
         if complete or K >= _K_CAP:
             return None
         k_min = K * 4
+
+
+def _search_fused_tiled(key: Key, wav_data, tables, sync_bits,
+                        n_starts_true: int):
+    """BLOCK search for streams beyond MAX_FUSED_FRAMES (the production
+    30-minute chunk, src/wavchunkloader.cc:74-97): overlapping fixed-shape
+    tiles of MAX_FUSED_FRAMES frames, ONE fused dispatch each, eligibility
+    restricted to disjoint core ranges, merged CLI-exact selection on host.
+
+    Scores are exact everywhere (each start's span lies inside its tile's
+    real audio); eligibility needs neighborhood context (+-20 local mean,
+    +-23 opposite-sign mask), so each tile also scores a TILE_HALO ring it
+    is not eligible to emit — results match the unbounded single-dispatch
+    kernel except for exact-score-tie plateaus crossing a tile boundary.
+
+    Transport: the chunk is uploaded ONCE (device_audio, reused later by
+    the block decode); tiles are device-side slices, so the tile overlap
+    (the block-long sync span + halo, ~14% at the production cap) never
+    crosses the host link.  None -> staged path (slot saturation at the K
+    cap or a degenerate tile geometry)."""
+    import jax.numpy as jnp
+
+    from ..ops import search_fused
+    from ..utils.devcache import device_audio
+
+    samples = wav_data.samples
+    C = wav_data.n_channels
+    frame = Params.frame_size
+    true_frames = samples.size // C            # per-channel samples
+    T_tile = search_fused.MAX_FUSED_FRAMES
+    HALO = search_fused.TILE_HALO
+    shifts = sync_ops.SHIFTS
+    n_starts_tile = shifts * (T_tile - 1 - sync_bits.total_frames)
+    if n_starts_tile <= 2 * HALO + shifts:
+        return None             # tile can't fit a core between its halos
+    tile_vals = T_tile * frame * C
+
+    x_full = device_audio(samples)
+    cand = {k: [] for k in ("t", "q", "mean", "rpos", "rq")}
+    g_core_lo = 0
+    while g_core_lo < n_starts_true:
+        f0 = max(g_core_lo - HALO, 0) // shifts
+        g0 = shifts * f0
+        core_lo = g_core_lo - g0
+        n_valid = min(n_starts_tile, n_starts_true - g0)
+        core_hi = n_valid if g0 + n_starts_tile >= n_starts_true \
+            else n_starts_tile - HALO
+        lo_v = f0 * frame * C
+        seg_vals = min(tile_vals, samples.size - lo_v)
+        x = x_full[lo_v: lo_v + seg_vals]      # device-side slice
+        if seg_vals < tile_vals:
+            x = jnp.concatenate(
+                [x, jnp.zeros(tile_vals - seg_vals, jnp.float32)])
+        n_samp_rel = true_frames - f0 * frame
+
+        k_min = 0
+        while True:
+            K, complete = _fused_k_for(T_tile, tables.frames_per_block,
+                                       core_hi - core_lo, k_min)
+            searcher = search_fused.build_searcher(tables, False, T_tile,
+                                                   C, K)
+            if searcher is None:
+                return None
+            out = searcher(x, np.int32(n_valid), np.int32(n_samp_rel),
+                           np.int32(0), np.int32(seg_vals),
+                           np.int32(core_lo), np.int32(core_hi))
+            out_np = {k: np.asarray(v) for k, v in out.items()}
+            n_el = int(np.count_nonzero(out_np["eligible"]))
+            aq = np.abs(out_np["q"][:n_el].astype(np.float64)
+                        - out_np["mean"][:n_el].astype(np.float64))
+            n_above = int(np.count_nonzero(
+                aq > Params.sync_threshold2 * 0.75))
+            if n_el == K and n_above == K and not complete:
+                if K >= _K_CAP:
+                    return None    # saturated tile at the cap: staged path
+                k_min = K * 4
+                continue
+            break
+        cand["t"].append(out_np["t"][:n_el].astype(np.int64) + g0)
+        cand["q"].append(out_np["q"][:n_el].astype(np.float64))
+        cand["mean"].append(out_np["mean"][:n_el].astype(np.float64))
+        cand["rpos"].append(out_np["refined_pos"][:n_el].astype(np.int64)
+                            + f0 * frame)
+        cand["rq"].append(out_np["refined_q"][:n_el].astype(np.float64))
+        g_core_lo = g0 + core_hi
+
+    # ---- merged CLI-exact selection: each tile's top-K slots are quality-
+    # descending, but the host selection breaks quality ties by APPROX step
+    # order, so sort the merged slots by global step first (cores are
+    # disjoint, so steps are unique across tiles)
+    order = np.argsort(np.concatenate(cand["t"]), kind="stable")
+    q = np.concatenate(cand["q"])[order]
+    mean = np.concatenate(cand["mean"])[order]
+    rpos = np.concatenate(cand["rpos"])[order]
+    rq = np.concatenate(cand["rq"])[order]
+    sel = _threshold_n_best_order(np.abs(q - mean),
+                                  Params.sync_threshold2 * 0.75)
+    keep = [_SearchScore(index=int(rpos[i]), raw_quality=float(rq[i]),
+                         local_mean=float(mean[i])) for i in sel]
+    return _finalize_scores(key, keep)
 
 
 def group_device_count() -> int:
@@ -362,7 +472,8 @@ def search_block_group(key_list: List[Key], wav_list) -> Optional[list]:
                 return None
             try:
                 out = searcher(xs, n_starts, frames, np.zeros(B, np.int32),
-                               sil_last)
+                               sil_last, np.zeros(B, np.int32),
+                               np.full(B, n_starts_s, np.int32))
             except _runtime_error_types():
                 return None     # caller decodes per chunk (its own fallback)
             out_np = {k: np.asarray(v) for k, v in out.items()}

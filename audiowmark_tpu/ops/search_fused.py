@@ -51,14 +51,64 @@ LM_DIST, LM_EXCL = 20, 4
 _BUCKET_FRAMES = 256        # ~5.9 s granularity of compiled shapes
 
 # single-dispatch program size cap: a 30-min chunk (~77.5k frames) makes
-# the fused kernel's HLO fail remote TPU compilation outright; chunks
-# beyond this go to the staged tile path whose shapes stay bounded
+# the fused kernel's HLO fail remote TPU compilation outright; longer
+# streams run as ceil(T/MAX) overlapping TILES of this size — one fused
+# dispatch each, merged selection on host (models/syncfinder.py
+# _search_fused_tiled) — so the production 30-minute chunk stays on the
+# fused path instead of the staged multi-dispatch fallback
 MAX_FUSED_FRAMES = 16384    # ~6.3 min
+
+# tile halo in start-steps: a core start's eligibility needs its local mean
+# (+-LM_DIST), its neighbors' local maxima (+-1) and the opposite-sign mask
+# neighbors (+-MASK_DISTANCE, each with their own local mean), so scores
+# must be exact for LM_DIST + MASK_DISTANCE + 2 = 45 steps beyond the core;
+# 48 keeps a margin and SHIFTS-aligns
+TILE_HALO = 48
 
 
 def bucket_frames(n_frames: int) -> int:
     return max(-(-n_frames // _BUCKET_FRAMES) * _BUCKET_FRAMES,
                _BUCKET_FRAMES)
+
+
+def candidate_eligibility(q, mean, validb):
+    """CLI candidate eligibility over a dense start-step score row: local
+    maxima with the reference's plateau-alternation semantics
+    (src/syncfinder.cc:258-281) minus opposite-sign false positives
+    (src/syncfinder.cc:283-332).  All shapes static; shared by the fused
+    search kernel and the fleet detector (ops/detect_fused.py)."""
+    n = q.shape[0]
+    idx = jnp.arange(n, dtype=jnp.int32)
+    valid = validb.astype(jnp.float32)
+    aq = jnp.abs(q - mean) * valid
+
+    # local maxima: a selected peak skips its right neighbor; on plateaus
+    # of equal values that alternation restarts at each run start
+    prv = jnp.concatenate([jnp.zeros(1), aq[:-1]])
+    nxt = jnp.concatenate([aq[1:], jnp.zeros(1)])
+    m = (aq >= prv) & (aq >= nxt) & validb
+    run_start = m & jnp.concatenate([jnp.ones(1, bool), ~m[:-1]])
+    starts = jax.lax.cummax(jnp.where(run_start, idx, -1))
+    lmax = m & ((idx - starts) % 2 == 0)
+
+    # drop candidates with an opposite-sign neighbor 3x larger within
+    # MASK_DISTANCE steps (dense shifted comparisons)
+    sgn_neg = (q - mean) < 0
+    MD = MASK_DISTANCE
+    aq_p = jnp.concatenate([jnp.zeros(MD), aq, jnp.zeros(MD)])
+    lm_p = jnp.concatenate([jnp.zeros(MD, bool), lmax,
+                            jnp.zeros(MD, bool)])
+    sg_p = jnp.concatenate([jnp.zeros(MD, bool), sgn_neg,
+                            jnp.zeros(MD, bool)])
+    masked = jnp.zeros(n, bool)
+    for dd in range(1, MD + 1):
+        for off in (dd, -dd):
+            nb_l = jax.lax.slice_in_dim(lm_p, MD + off, MD + off + n)
+            nb_a = jax.lax.slice_in_dim(aq_p, MD + off, MD + off + n)
+            nb_s = jax.lax.slice_in_dim(sg_p, MD + off, MD + off + n)
+            masked = masked | (nb_l & (nb_s != sgn_neg)
+                               & (nb_a > aq * MASK_FACTOR))
+    return lmax & ~masked, aq, idx
 
 
 def top_k_for(T: int, frames_per_block: int) -> int:
@@ -79,8 +129,14 @@ def _memo_key(tag, clip_mode, T, C, K, dft_bf16, extra=()):
 def build_searcher(tables: KeyTables, clip_mode: bool, T: int, C: int,
                    K: int, dft_bf16: Optional[bool] = None):
     """Jitted f(x (T*FRAME*C,) f32 interleaved FLAT, n_starts i32,
-    n_sample_frames i32, sil_first i32, sil_last i32) -> dict of (K,)
-    tensors: t (approx tau), q, mean, refined_pos, refined_q, eligible.
+    n_sample_frames i32, sil_first i32, sil_last i32, core_lo i32,
+    core_hi i32) -> dict of (K,) tensors: t (approx tau), q, mean,
+    refined_pos, refined_q, eligible.
+
+    [core_lo, core_hi) restricts ELIGIBILITY (not scoring) to a start-step
+    range — the tiled long-stream path computes halo scores outside its
+    core for exact local-mean/masking semantics but emits candidates only
+    for the core.  Whole-stream callers pass (0, n_starts).
 
     The audio crosses the jit boundary FLAT: a materialized (n, 2) array
     on TPU pads the minor dim to 128 lanes (64x memory/bandwidth — a
@@ -108,8 +164,8 @@ def build_searcher_group(tables: KeyTables, clip_mode: bool, T: int, C: int,
     grain because chunks are fully independent.
 
     f(x (B, T*FRAME, C), n_starts (B,), frames (B,), sil_first (B,),
-      sil_last (B,)) -> dict of (B, K) tensors (same fields as
-    build_searcher)."""
+      sil_last (B,), core_lo (B,), core_hi (B,)) -> dict of (B, K) tensors
+    (same fields as build_searcher)."""
     def build():
         fn = _build_searcher(tables, clip_mode, T, C, K, dft_bf16)
         if fn is None:
@@ -125,8 +181,7 @@ def build_searcher_group(tables: KeyTables, clip_mode: bool, T: int, C: int,
         mesh = Mesh(np.array(jax.devices()[:n_dev]), axis_names=("chunks",))
         sharded = shard_map(
             batched, mesh=mesh,
-            in_specs=(P("chunks"), P("chunks"), P("chunks"), P("chunks"),
-                      P("chunks")),
+            in_specs=(P("chunks"),) * 7,
             out_specs=P("chunks"), check_vma=False)
         return jax.jit(sharded)
     return memo_derived(
@@ -210,7 +265,8 @@ def _build_searcher(tables: KeyTables, clip_mode: bool, T: int, C: int,
     lm_shifts = (list(range(-LM_DIST, -LM_EXCL + 1))
                  + list(range(LM_EXCL, LM_DIST + 1)))
 
-    def search(x_flat, n_starts_d, n_sample_frames_d, sil_first, sil_last):
+    def search(x_flat, n_starts_d, n_sample_frames_d, sil_first, sil_last,
+               core_lo, core_hi):
         x = x_flat.reshape(n_samples, C)
         # ---- hop-256 dB spectrogram from static hop-chunk slices ----
         xc = x[: (n_samples // HOP) * HOP].reshape(-1, HOP, C)
@@ -276,36 +332,9 @@ def _build_searcher(tables: KeyTables, clip_mode: bool, T: int, C: int,
         cnt = shifted_sum(valid, lm_shifts, n_starts_s)
         mean = jnp.where(cnt > 0, tot / jnp.maximum(cnt, 1.0), 0.0) * valid
 
-        # ---- local maxima with the plateau-alternation semantics ----
-        aq = jnp.abs(q - mean) * valid
-        prv = jnp.concatenate([jnp.zeros(1), aq[:-1]])
-        nxt = jnp.concatenate([aq[1:], jnp.zeros(1)])
-        m = (aq >= prv) & (aq >= nxt) & validb
-        run_start = m & jnp.concatenate(
-            [jnp.ones(1, bool), ~m[:-1]])
-        starts = jax.lax.cummax(jnp.where(run_start, idx, -1))
-        lmax = m & ((idx - starts) % 2 == 0)
-
-        # ---- opposite-sign false-positive masking (dense shifts) ----
-        sgn_neg = (q - mean) < 0
-        MD = MASK_DISTANCE
-        aq_p = jnp.concatenate([jnp.zeros(MD), aq, jnp.zeros(MD)])
-        lm_p = jnp.concatenate([jnp.zeros(MD, bool), lmax,
-                                jnp.zeros(MD, bool)])
-        sg_p = jnp.concatenate([jnp.zeros(MD, bool), sgn_neg,
-                                jnp.zeros(MD, bool)])
-        masked = jnp.zeros(n_starts_s, bool)
-        for dd in range(1, MD + 1):
-            for off in (dd, -dd):
-                nb_l = jax.lax.slice_in_dim(lm_p, MD + off,
-                                            MD + off + n_starts_s)
-                nb_a = jax.lax.slice_in_dim(aq_p, MD + off,
-                                            MD + off + n_starts_s)
-                nb_s = jax.lax.slice_in_dim(sg_p, MD + off,
-                                            MD + off + n_starts_s)
-                masked = masked | (nb_l & (nb_s != sgn_neg)
-                                   & (nb_a > aq * MASK_FACTOR))
-        elig = lmax & ~masked
+        # ---- local maxima + opposite-sign masking + core bounds ----
+        elig, aq, _ = candidate_eligibility(q, mean, validb)
+        elig = elig & (idx >= core_lo) & (idx < core_hi)
 
         # ---- top-K slots by |q - mean| (ties -> lower index, matching the
         # host's stable sort) ----
