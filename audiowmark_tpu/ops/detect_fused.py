@@ -16,7 +16,9 @@ This is the device path for fleet-scale batch detection: `jax.vmap` it over
 a stream axis and `shard_map` that over a dp mesh (parallel/batch.py), or
 call it per-chunk for single-stream throughput.  The host CLI path keeps its
 own orchestration for bit-exact reference selection semantics; this kernel
-trades the selection pipeline's maskings for fixed top-k shapes.
+applies the CLI's candidate eligibility (local maxima + opposite-sign
+masking) in-device but keeps fixed top-k slots instead of the host's
+threshold/n-best truncation (ineligible filler slots are flagged).
 """
 
 from __future__ import annotations
@@ -56,6 +58,11 @@ class DetectorConfig:
     # None = bf16 on TPU, f32 elsewhere (CPU must match the CLI decode
     # path's numerics); tests pass True to validate bf16 end-to-end on CPU
     dft_bf16: "bool | None" = None
+    # apply the CLI's candidate eligibility (local maxima + opposite-sign
+    # false-positive masking, src/syncfinder.cc:258-332) before top-k, so
+    # the fleet API surfaces the same candidate set the CLI would; slots
+    # beyond the eligible count are flagged by the `eligible` output
+    cli_masking: bool = True
 
 
 def build_detector(key: Key, cfg: DetectorConfig) -> Callable:
@@ -153,8 +160,15 @@ def build_detector(key: Key, cfg: DetectorConfig) -> Callable:
             cnt = cnt + jax.lax.slice_in_dim(cpad, dist + j,
                                              dist + j + n_starts)
         mean = tot / jnp.maximum(cnt, 1.0)
-        abs_q = jnp.abs(q - mean)
-        top = jax.lax.top_k(abs_q, K)[1]
+        if cfg.cli_masking:
+            from .search_fused import candidate_eligibility
+            elig, abs_q, _ = candidate_eligibility(
+                q, mean, jnp.ones(n_starts, bool))
+            score = jnp.where(elig, abs_q, -1.0)
+        else:
+            score = abs_q = jnp.abs(q - mean)
+        top_vals, top = jax.lax.top_k(score, K)
+        eligible = top_vals >= 0
 
         lpad = jnp.concatenate(
             [x.T, jnp.zeros((C, _SPAN), jnp.float32)], axis=1)
@@ -242,6 +256,7 @@ def build_detector(key: Key, cfg: DetectorConfig) -> Callable:
             "block_is_a": is_a,
             "bits": bits,
             "errors": errors,
+            "eligible": eligible,
         }
 
     return detect

@@ -119,7 +119,8 @@ def detect_batch(key: Key, audio: np.ndarray,
 
     audio: (B, n_samples, C) float32 at 44.1 kHz; B must divide dp.
     Returns dict of arrays with leading (B, top_k): positions (sample
-    index), qualities, block_is_a, bits (payload), errors.
+    index), qualities, block_is_a, bits (payload), errors, and eligible
+    (False marks filler slots past the CLI-eligible candidate count).
     """
     assert audio.ndim == 3
     if mesh is None:

@@ -116,10 +116,12 @@ def test_detect_batch_agrees_with_cli_pipeline(mini_geometry):
     (BlockDecoder: fused search with masking/threshold/n-best + exact-match
     short decode) reports must appear in detect_batch's top-k at the same
     refined position, same block type, and with the identical conv-decoded
-    codeword.  The residual divergence is one-directional and documented:
-    detect_batch keeps fixed top-k slots and no opposite-sign masking, so
-    it may ALSO surface candidates the CLI drops — it never misses one the
-    CLI keeps."""
+    codeword.  The residual divergence is one-directional, bounded, and
+    measured here (round-3 review weak #7): detect_batch applies the CLI's
+    local-maxima + opposite-sign eligibility in-kernel, so the only extra
+    candidates it surfaces are eligible-but-below-threshold fillers the
+    CLI's threshold/n-best truncation would drop — their measured
+    above-threshold rate must be 0 and it never misses a CLI pattern."""
     from audiowmark_tpu.codec.convcode import ConvBlockType
     from audiowmark_tpu.io.wavdata import WavData
     from audiowmark_tpu.models.decoder import BlockDecoder
@@ -132,9 +134,14 @@ def test_detect_batch_agrees_with_cli_pipeline(mini_geometry):
         marked + rng.randn(*marked.shape).astype(np.float32) * 0.02,
         -1.0, 1.0)
 
+    from audiowmark_tpu.models import syncfinder
+    from audiowmark_tpu.models.syncfinder import SyncMode
+
     out = detect_batch(key, attacked, mesh=make_mesh(8), top_k=8)
 
     n_cli_patterns = 0
+    n_eligible = 0
+    n_extra_above = 0        # eligible, above final threshold, yet absent
     for b in range(B):
         wav = WavData(attacked[b].reshape(-1).copy(), C,
                       Params.mark_sample_rate, 16)
@@ -157,5 +164,29 @@ def test_detect_batch_agrees_with_cli_pipeline(mini_geometry):
             assert hits, \
                 "stream %d: CLI pattern at %d missing from detect_batch" \
                 % (b, pos)
+
+        # extra-candidate rate (round-3 review weak #7): an eligible fleet
+        # slot above the CLI's final sync threshold must correspond to a
+        # candidate the CLI SEARCH keeps (its masking now runs in-kernel);
+        # anything else is a false positive the fleet API over-reports
+        cli_cands = {s.index
+                     for kr in syncfinder.search([key], wav, SyncMode.BLOCK)
+                     for s in kr.sync_scores}
+        for j in range(out["positions"].shape[1]):
+            if not bool(out["eligible"][b][j]):
+                continue
+            n_eligible += 1
+            if out["qualities"][b][j] <= Params.sync_threshold2:
+                continue
+            fpos = int(out["positions"][b][j])
+            if not any(abs(fpos - c) < FRAME // 2 for c in cli_cands):
+                n_extra_above += 1
     # the attacked batch must actually exercise the comparison
     assert n_cli_patterns >= B
+    assert n_eligible > 0
+    extra_rate = n_extra_above / n_eligible
+    print("detect_batch extra-candidate rate: %d/%d = %.3f"
+          % (n_extra_above, n_eligible, extra_rate))
+    assert extra_rate == 0.0, \
+        "eligible above-threshold candidates absent from the CLI search: " \
+        "%d of %d" % (n_extra_above, n_eligible)
