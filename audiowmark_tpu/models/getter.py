@@ -94,13 +94,13 @@ def get_watermark(key_list: List[Key], infile: str, orig_pattern: str) -> int:
     from ..utils import prof
     from .syncfinder import group_device_count, search_block_group
 
-    # multi-chip: with >1 device and no speed handling, chunks of a long
-    # file are searched in device-parallel groups (one sharded dispatch
-    # covers group_cap chunks); decode semantics per chunk are unchanged.
-    group_cap = 1
-    if not (Params.detect_speed or Params.detect_speed_patient
-            or Params.try_speed > 0):
-        group_cap = group_device_count()
+    # multi-chip: with >1 device, chunks of a long file are searched in
+    # device-parallel groups (one sharded dispatch covers group_cap
+    # chunks); decode semantics per chunk are unchanged.  Speed flags keep
+    # grouping: the group pre-search only feeds each chunk's speed-1.0
+    # block decode, and the per-chunk speed scan shards its center axis
+    # over the same mesh (ops/speed_fused.scan_device_count).
+    group_cap = group_device_count()
 
     # chunk prefetch: while a chunk group decodes, a host thread loads the
     # next chunk (disk read / codec decode / resample are pure host work)

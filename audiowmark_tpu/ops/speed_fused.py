@@ -92,19 +92,18 @@ def _offset_tables(rels: Sequence[float], sync_bits: SpeedSyncBits):
     return split(s_off) + split(f_off)
 
 
-@partial(jax.jit, static_argnames=("n_tiles", "rows_bucket"))
-def _speed_scan_core(xpad: jnp.ndarray,
-                     anchor_base: jnp.ndarray, anchor_f1: jnp.ndarray,
-                     anchor_f0: jnp.ndarray,
-                     inv_int: jnp.ndarray, inv_f1: jnp.ndarray,
-                     inv_f0: jnp.ndarray,
-                     in_limit: jnp.ndarray, rows: jnp.ndarray,
-                     fr: jnp.ndarray, half_width: jnp.ndarray,
-                     so_hi: jnp.ndarray, so_lo: jnp.ndarray,
-                     fo_hi: jnp.ndarray, fo_lo: jnp.ndarray,
-                     bit_onehot: jnp.ndarray, dftm: jnp.ndarray,
-                     v: jnp.ndarray, norm: jnp.ndarray,
-                     n_tiles: int, rows_bucket: int) -> jnp.ndarray:
+def _scan_body(xpad: jnp.ndarray,
+               anchor_base: jnp.ndarray, anchor_f1: jnp.ndarray,
+               anchor_f0: jnp.ndarray,
+               inv_int: jnp.ndarray, inv_f1: jnp.ndarray,
+               inv_f0: jnp.ndarray,
+               in_limit: jnp.ndarray, rows: jnp.ndarray,
+               fr: jnp.ndarray, half_width: jnp.ndarray,
+               so_hi: jnp.ndarray, so_lo: jnp.ndarray,
+               fo_hi: jnp.ndarray, fo_lo: jnp.ndarray,
+               bit_onehot: jnp.ndarray, dftm: jnp.ndarray,
+               v: jnp.ndarray, norm: jnp.ndarray,
+               n_tiles: int, rows_bucket: int) -> jnp.ndarray:
     """(K, R) best-over-offsets qualities.
 
     xpad: (Npad, C) clip with HALF_TAPS-1 leading zeros; anchor_*: (K,
@@ -198,6 +197,50 @@ def _speed_scan_core(xpad: jnp.ndarray,
                                     in_limit, rows, fr, half_width))
 
 
+@partial(jax.jit, static_argnames=("n_tiles", "rows_bucket"))
+def _speed_scan_core(*args, n_tiles: int, rows_bucket: int) -> jnp.ndarray:
+    """Single-device scan: see _scan_body."""
+    return _scan_body(*args, n_tiles=n_tiles, rows_bucket=rows_bucket)
+
+
+def scan_device_count() -> int:
+    """Devices the speed scan shards its center axis over
+    (AUDIOWMARK_MULTICHIP=0 disables, matching the sync-group gate)."""
+    import os
+    if os.environ.get("AUDIOWMARK_MULTICHIP", "1") in ("0", "false"):
+        return 1
+    return jax.device_count()
+
+
+# index of the first center-sharded arg in _scan_body's signature (xpad is
+# replicated; anchor_* through half_width carry the K axis; so_hi onward
+# are replicated tables)
+_N_CENTER_ARGS = 10
+
+
+@lru_cache(maxsize=32)
+def _speed_scan_core_sharded(n_dev: int, n_tiles: int, rows_bucket: int):
+    """dp-sharded scan: centers split across an n_dev-device mesh, clip and
+    offset tables replicated.  Per-center math is unchanged (each center
+    runs the identical program on one device), so results are bitwise equal
+    to the single-device core — asserted by tests/test_speed_multichip.py.
+    Reference analogue: the ThreadPool jobs per SpeedSync
+    (src/wmspeed.cc:433-492) fan out per center."""
+    from jax.sharding import Mesh, PartitionSpec as P
+    try:
+        from jax import shard_map
+    except ImportError:         # pragma: no cover - older jax
+        from jax.experimental.shard_map import shard_map
+
+    mesh = Mesh(np.array(jax.devices()[:n_dev]), axis_names=("centers",))
+    body = partial(_scan_body, n_tiles=n_tiles, rows_bucket=rows_bucket)
+    in_specs = ((P(),) + (P("centers"),) * _N_CENTER_ARGS
+                + (P(),) * 8)
+    fn = shard_map(body, mesh=mesh, in_specs=in_specs,
+                   out_specs=P("centers"), check_vma=False)
+    return jax.jit(fn)
+
+
 @lru_cache(maxsize=8)
 def _center_bucket(n: int) -> int:
     """Next power of two: padded centers run the full masked pipeline, so
@@ -264,12 +307,19 @@ def speed_scan(clip_samples: np.ndarray, n_channels: int,
     dftm_d = jax.device_put(_sub_dft_matrix())
     v_d = jax.device_put(sync_bits.v)
 
-    group = max(1, min(8, _DISPATCH_SAMPLE_BUDGET // (n_tiles * T_TILE)))
+    # multi-chip: centers shard over the mesh, so each dispatch carries
+    # n_dev x the per-device watchdog budget (every device still runs at
+    # most `per_dev` centers of sequential work)
+    n_dev = scan_device_count()
+    per_dev = max(1, min(8, _DISPATCH_SAMPLE_BUDGET // (n_tiles * T_TILE)))
+    group = per_dev * n_dev
     per_center_rows: List[List[Tuple[float, float]]] = []
     for g0 in range(0, K_true, group):
         gc = centers[g0: g0 + group]
         gg = geom[g0: g0 + group]
         K = _center_bucket(len(gc)) if len(gc) < group else group
+        if n_dev > 1:
+            K = -(-K // n_dev) * n_dev     # centers must divide the mesh
         anchor_base = np.zeros((K, n_tiles), dtype=np.int32)
         anchor_f1 = np.zeros((K, n_tiles), dtype=np.int32)
         anchor_f0 = np.zeros((K, n_tiles), dtype=np.int32)
@@ -295,7 +345,11 @@ def speed_scan(clip_samples: np.ndarray, n_channels: int,
             fr[i] = ratio
             half_width[i] = 16.0 / ratio
 
-        q = np.asarray(_speed_scan_core(
+        core = (_speed_scan_core_sharded(n_dev, n_tiles, rows_bucket)
+                if n_dev > 1 else
+                partial(_speed_scan_core, n_tiles=n_tiles,
+                        rows_bucket=rows_bucket))
+        q = np.asarray(core(
             xpad_d,
             jnp.asarray(anchor_base), jnp.asarray(anchor_f1),
             jnp.asarray(anchor_f0),
@@ -303,8 +357,7 @@ def speed_scan(clip_samples: np.ndarray, n_channels: int,
             jnp.asarray(in_limit), jnp.asarray(rows_arr),
             jnp.asarray(fr), jnp.asarray(half_width),
             so_hi_d, so_lo_d, fo_hi_d, fo_lo_d,
-            onehot_d, dftm_d, v_d, jnp.float32(norm),
-            n_tiles, rows_bucket))
+            onehot_d, dftm_d, v_d, jnp.float32(norm)))
         per_center_rows.extend(
             [(float(q[i, r]), rel * center) for r, rel in enumerate(rels)]
             for i, center in enumerate(gc))

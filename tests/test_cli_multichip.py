@@ -106,3 +106,50 @@ def test_chunked_get_multichip_matches_single(tmp_path, monkeypatch):
     assert n_group >= 1                   # enabled path actually grouped
     assert out_multi == out_single
     assert "pattern" in out_multi
+
+
+@pytest.mark.slow
+def test_chunked_get_multichip_with_speed_matches_single(tmp_path,
+                                                         monkeypatch):
+    """Speed flags no longer disable chunk grouping (round-3 review weak
+    #4/#7): a multi-chunk get with --try-speed runs the sharded group
+    search AND the per-chunk speed decode, byte-identical to the
+    single-device run."""
+    Params.payload_short = 12
+    Params.payload_size = 12
+    Params.sync_frames_per_bit = 10
+    tables_mod.clear_cache()
+
+    key = Key()
+    src = str(tmp_path / "long.wav")
+    wm = str(tmp_path / "long_wm.wav")
+    gen_noise(key, src, 240, 44100, 16)
+    assert add_watermark(key, src, wm, "abc") == 0
+
+    Params.get_chunk_size = 2.0     # minutes; 240 s -> 3+ chunks
+    Params.try_speed = 0.9995
+
+    calls = {"group": 0}
+    orig_group = syncfinder.search_block_group
+
+    def counting_group(key_list, wavs):
+        r = orig_group(key_list, wavs)
+        if r is not None:
+            calls["group"] += 1
+        return r
+
+    monkeypatch.setattr(syncfinder, "search_block_group", counting_group)
+
+    def run(multichip):
+        monkeypatch.setenv("AUDIOWMARK_MULTICHIP", "1" if multichip else "0")
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            rc = get_watermark([key], wm, "abc")
+        assert rc == 0, buf.getvalue()
+        return buf.getvalue()
+
+    out_multi = run(True)
+    assert calls["group"] >= 1            # speed flags group now
+    out_single = run(False)
+    assert out_multi == out_single
+    assert "pattern" in out_multi
