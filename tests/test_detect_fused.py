@@ -110,6 +110,56 @@ def test_fused_detector_bf16_recovers_codeword(mini_geometry):
 
 
 @pytest.mark.slow
+def test_detect_batch_full_geometry_sharded(tmp_path):
+    """REAL production geometry on a 2-device mesh (round-3 review weak
+    #5): 128-bit payload, 2226-frame blocks, the 2^15-state batched A/B
+    Viterbi — the sharded fleet detect must equal the unsharded vmap run
+    bit for bit AND recover the embedded payload, so the production bit
+    path has executed sharded end-to-end at full geometry.  Reference
+    analogue: the Viterbi fan-out in src/wmget.cc:544."""
+    from audiowmark_tpu.cli import test_gen_noise as gen_noise
+    from audiowmark_tpu.io.wavdata import WavData
+    from audiowmark_tpu.models.embedder import add_watermark
+
+    key = Key()
+    payload = "f0" * 16                     # full 128-bit payload
+    src = str(tmp_path / "n.wav")
+    wm = str(tmp_path / "wm.wav")
+    gen_noise(key, src, 60, 44100, 16)      # covers block 0 (starts @250)
+    assert add_watermark(key, src, wm, payload) == 0
+    wav = WavData.load(wm)
+    base = wav.samples.reshape(-1, 2)
+    rng = np.random.RandomState(4)
+    attacked = np.clip(
+        base + rng.randn(*base.shape).astype(np.float32) * 0.01, -1.0, 1.0)
+    audio = np.stack([base, attacked])      # (2, n, 2)
+
+    sharded = detect_batch(key, audio, mesh=make_mesh(2), top_k=4)
+
+    T_full = audio.shape[1] // FRAME
+    det = build_detector(key, DetectorConfig(n_frames=T_full, n_channels=2,
+                                             top_k=4))
+    flat = audio[:, : T_full * FRAME].reshape(2, -1)
+    unsharded = jax.jit(jax.vmap(det))(flat)
+
+    for name in ("positions", "block_is_a", "bits", "eligible"):
+        np.testing.assert_array_equal(
+            sharded[name], np.asarray(unsharded[name]), err_msg=name)
+    np.testing.assert_allclose(sharded["qualities"],
+                               np.asarray(unsharded["qualities"]),
+                               rtol=1e-5, atol=1e-6)
+
+    want = list(parse_payload(payload))
+    expect0 = Params.frames_pad_start * FRAME
+    for b in range(2):
+        best = int(np.argmax(sharded["qualities"][b]))
+        assert bool(sharded["eligible"][b][best])
+        assert abs(int(sharded["positions"][b][best]) - expect0) < FRAME // 2
+        assert sharded["bits"][b][best].tolist() == want, b
+        assert sharded["errors"][b][best] < 0.2
+
+
+@pytest.mark.slow
 def test_detect_batch_agrees_with_cli_pipeline(mini_geometry):
     """Fleet API vs CLI selection on the same attacked streams (round-2
     review weak #2): every single-block A/B pattern the CLI pipeline
