@@ -63,6 +63,11 @@ class DetectorConfig:
     # the fleet API surfaces the same candidate set the CLI would; slots
     # beyond the eligible count are flagged by the `eligible` output
     cli_masking: bool = True
+    # diagnostic only: truncate the pipeline after a stage and return a
+    # {"probe": scalar} reduction instead of the full result — lets
+    # tools/mfu_attrib.py time/flop-count each stage incrementally.
+    # "spectrogram" | "sweep" | "refine" | "candidates" | "full"
+    stage: str = "full"
 
 
 def build_detector(key: Key, cfg: DetectorConfig) -> Callable:
@@ -131,6 +136,8 @@ def build_detector(key: Key, cfg: DetectorConfig) -> Callable:
         db = jnp.where(abs2 > 0, jnp.log2(abs2) * jnp.float32(_LOG2_DB),
                        jnp.float32(MIN_DB))
         S = jnp.sum(db.reshape(n_taus, C, n_bands), axis=1)  # (taus, bands)
+        if cfg.stage == "spectrogram":
+            return {"probe": jnp.sum(S)}
 
         # ---- score sweep: static slices of the band-sum matrix ----
         Dt = jnp.dot(V, S.T, preferred_element_type=jnp.float32)
@@ -169,6 +176,8 @@ def build_detector(key: Key, cfg: DetectorConfig) -> Callable:
             score = abs_q = jnp.abs(q - mean)
         top_vals, top = jax.lax.top_k(score, K)
         eligible = top_vals >= 0
+        if cfg.stage == "sweep":
+            return {"probe": jnp.sum(q) + jnp.sum(mean) + jnp.sum(top)}
 
         lpad = jnp.concatenate(
             [x.T, jnp.zeros((C, _SPAN), jnp.float32)], axis=1)
@@ -208,6 +217,9 @@ def build_detector(key: Key, cfg: DetectorConfig) -> Callable:
             best = jnp.argmax(jnp.abs(fine_q - cmean) * valid)
             best_pos = pos[best]
             best_q = fine_q[best]
+            if cfg.stage == "refine":      # diagnostic: skip block decode
+                return (jnp.zeros(inv_order.shape[0], jnp.float32),
+                        best_q, best_pos)
 
             # block decode at the refined start (src/wmget.cc:503-553)
             w = jax.lax.dynamic_slice_in_dim(
@@ -232,6 +244,9 @@ def build_detector(key: Key, cfg: DetectorConfig) -> Callable:
         bs = max(1, min(cfg.candidate_batch, K))
         softs, fine_qs, positions = jax.lax.map(per_candidate, top,
                                                 batch_size=bs)
+        if cfg.stage in ("refine", "candidates"):
+            return {"probe": (jnp.sum(softs) + jnp.sum(fine_qs)
+                              + jnp.sum(positions))}
 
         # block type from the sync sign (A positive, B negative,
         # src/syncfinder.cc:544-553); Viterbi with the matching generators.
