@@ -386,6 +386,7 @@ def _try(name, fn, default):
 # name -> zero-arg phase fn; module-level so a SPAWNED child (which
 # re-imports this module) can resolve the phase by name
 _PHASES = {
+    "noop": lambda: 0.0,        # machinery diagnostic: no device op
     "io_floor": bench_io_floor,
     "production": bench_production,
     "detect_speed": bench_detect_speed,
@@ -395,104 +396,117 @@ _PHASES = {
 }
 
 
-def _phase_worker(name, conn):
-    """Child entry (spawn): run one phase, ship the result over the pipe."""
+def _worker_loop(conn):
+    """Child entry (spawn): serve phase requests over the pipe until None.
+
+    ONE worker serves every phase: a fresh client process pays a measured
+    90-220 s tunnel cold-start before its FIRST op completes (round 3's
+    'tunnel unhealthy' stalls were exactly this, misdiagnosed - per-phase
+    spawning plus 45 s health probes burned ~20 min of budget on cold
+    starts that warm up fine if simply waited out).  Keeping the client
+    alive pays the cold-start once; the parent respawns the worker only
+    after a hang or error (a crashed remote compile can poison the client
+    runtime - round 2's detect_speed fault zeroed every later phase)."""
     try:
-        conn.send(("ok", _PHASES[name]()))
-    except Exception as e:          # noqa: BLE001 - reported to the parent
-        import traceback
-        conn.send(("err", "%s\n%s" % (e, traceback.format_exc())))
+        while True:
+            name = conn.recv()
+            if name is None:
+                return
+            try:
+                conn.send(("ok", _PHASES[name]()))
+            except Exception as e:  # noqa: BLE001 - reported to the parent
+                import traceback
+                conn.send(("err", "%s\n%s" % (e, traceback.format_exc())))
+    except (EOFError, OSError):     # parent gone
+        pass
     finally:
         conn.close()
 
 
-def _probe_tunnel(conn):
-    """Child entry: trivial fresh jit through the tunnel; sends when done."""
-    try:
-        import jax as _jax
-        import jax.numpy as _jnp
-        float(_jax.jit(lambda a: (a * 2).sum())(_jnp.ones(128)))
-        conn.send("ok")
-    except Exception as e:      # noqa: BLE001 - reported to the parent
-        conn.send(str(e))
-    finally:
-        conn.close()
+# headroom added to a worker's FIRST phase deadline: the remote-TPU client
+# cold-start (observed 90-220 s, paid per process; server warmth does not
+# transfer across client processes) plus margin
+_COLD_START_HEADROOM_S = 420
 
 
-def _wait_tunnel_healthy(max_wait_s=90):
-    """Block until a trivial jit round-trips through the TPU tunnel.
+class _PhaseRunner:
+    """Runs phases in one persistent spawned worker; respawns it on hang or
+    failure so a poisoned remote client cannot zero out later phases."""
 
-    A crashed remote compile (observed: the compile RPC stream dropping on a
-    large HLO) leaves the server sick for a while; the NEXT phase's first
-    compile then hangs until its whole timeout.  Gating each phase on a
-    cheap isolated probe turns that cascade into a bounded wait."""
-    import multiprocessing as mp
+    def __init__(self):
+        self._proc = None
+        self._conn = None
+        self._fresh = True
 
-    deadline = time.monotonic() + max_wait_s
-    while time.monotonic() < deadline:
+    def _ensure(self):
+        if self._proc is not None and self._proc.is_alive():
+            return True
+        import multiprocessing as mp
         try:
             ctx = mp.get_context("spawn")
-            parent, child = ctx.Pipe(duplex=False)
-            p = ctx.Process(target=_probe_tunnel, args=(child,))
-            p.start()
+            self._conn, child = ctx.Pipe(duplex=True)
+            self._proc = ctx.Process(target=_worker_loop, args=(child,),
+                                     daemon=True)
+            self._proc.start()
             child.close()
-            ok = parent.poll(45) and parent.recv() == "ok"
-            p.join(10)
-            if p.is_alive():
-                p.kill()
-                p.join()
-            if ok:
-                return True
-        except Exception:       # spawn unavailable: skip the gate
+            self._fresh = True
             return True
-        print("bench: tunnel unhealthy, retrying probe", file=sys.stderr)
-        time.sleep(10)
-    print("bench: tunnel still unhealthy after %ds" % max_wait_s,
-          file=sys.stderr)
-    return False
+        except Exception:           # spawn unavailable (rare)
+            self._proc = None
+            self._conn = None
+            return False
 
+    def _kill(self):
+        if self._proc is not None:
+            self._proc.kill()
+            self._proc.join()
+        self._proc = None
+        self._conn = None
 
-def _try_isolated(name, default, timeout_s=2400):
-    """Run one bench phase in its OWN spawned process.  A crashed remote-TPU
-    worker leaves the client's runtime permanently UNAVAILABLE — in round 2
-    one detect_speed kernel fault zeroed every later phase of the bench.
-    Process isolation means each phase gets a fresh client (the worker
-    itself restarts server-side within seconds)."""
-    import multiprocessing as mp
-
-    try:
-        ctx = mp.get_context("spawn")
-        parent, child = ctx.Pipe(duplex=False)
-        p = ctx.Process(target=_phase_worker, args=(name, child))
-        p.start()
-        child.close()
-        result = default
-        if parent.poll(timeout_s):
-            status, payload = parent.recv()
-            if status == "ok":
-                result = payload
-            else:
+    def run(self, name, default, timeout_s):
+        if not self._ensure():      # no spawn: run in-process, no hang guard
+            return _try(name, _PHASES[name], default)
+        deadline = timeout_s + (_COLD_START_HEADROOM_S if self._fresh else 0)
+        try:
+            self._conn.send(name)
+            if self._conn.poll(deadline):
+                status, payload = self._conn.recv()
+                self._fresh = False
+                if status == "ok":
+                    return payload
                 print("bench phase %s FAILED: %s" % (name, payload),
                       file=sys.stderr)
-        else:
-            print("bench phase %s TIMED OUT after %ds" % (name, timeout_s),
+                # the remote client may be poisoned; pay one cold-start for
+                # a clean slate rather than risk hanging every later phase
+                self._kill()
+                return default
+        except (EOFError, OSError, BrokenPipeError) as e:
+            print("bench phase %s: worker pipe broke (%s)" % (name, e),
                   file=sys.stderr)
-            p.terminate()
-        p.join(60)
-        if p.is_alive():
-            p.kill()
-            p.join()
-        return result
-    except Exception:               # spawn unavailable -> in-process fallback
-        return _try(name, _PHASES[name], default)
+            self._kill()
+            return default
+        print("bench phase %s TIMED OUT after %ds" % (name, deadline),
+              file=sys.stderr)
+        self._kill()
+        return default
+
+    def close(self):
+        if self._conn is not None:
+            try:
+                self._conn.send(None)
+                self._proc.join(10)
+            except (OSError, BrokenPipeError):
+                pass
+        self._kill()
 
 
 def main():
     # Phase order: the headline metrics (io floor + production + fused +
-    # batch) land FIRST so a wedged later phase cannot starve them; each
-    # phase is gated on a tunnel-health probe (one crashed remote compile
-    # leaves the server sick for a while — observed to hang the next
-    # phase's compile until its whole timeout) and on an overall budget.
+    # batch) land FIRST so a wedged later phase cannot starve them.  All
+    # phases share ONE persistent spawned worker (the remote-TPU client
+    # cold-start is 90-220 s per process); the parent enforces per-phase
+    # deadlines and respawns the worker after a hang or error, and an
+    # overall budget bounds the run.
     #
     # The FULL cumulative JSON result is (re)printed after EVERY phase —
     # last line wins — so a driver that kills the bench mid-run still
@@ -523,6 +537,8 @@ def main():
     def emit():
         print(json.dumps(result), flush=True)
 
+    runner = _PhaseRunner()
+
     def run(name, default, timeout_s):
         if only_set and name not in only_set:
             print("bench: phase %s skipped (BENCH_PHASES)" % name,
@@ -535,8 +551,11 @@ def main():
                   file=sys.stderr)
             skipped.append(name)
             return default
-        _wait_tunnel_healthy()
-        return _try_isolated(name, default, min(timeout_s, left))
+        t0 = time.monotonic()
+        out = runner.run(name, default, min(timeout_s, left))
+        print("bench: phase %s took %.1fs" % (name, time.monotonic() - t0),
+              file=sys.stderr)
+        return out
 
     io_floor_factor, up_mbs, down_mbs, spread = run(
         "io_floor", (0.0, 0.0, 0.0, (0, 0, 0, 0)), 420)
@@ -579,6 +598,7 @@ def main():
     chunked_factor = run("chunked_get", 0.0, 900)
     result["chunked_get_factor"] = round(chunked_factor, 1)
     emit()
+    runner.close()
 
     print("compile_s=%.1f fused=%.0fx production=%.0fx (add %.1fs get %.1fs)"
           " batch=%.0fx chunked=%.0fx speed=%.1fs "
