@@ -440,8 +440,13 @@ class ClipDecoder:
     def __init__(self, speed: float):
         self.speed = speed
 
-    def _run_padded(self, key_list, wav_data, result_set, time_offset_sec):
-        key_results = syncfinder.search(key_list, wav_data, SyncMode.CLIP)
+    def _run_padded(self, key_list, wav_data, result_set, time_offset_sec,
+                    sync_results=None):
+        """sync_results: precomputed CLIP KeyResults (the start/end windows
+        are searched together in one vmapped dispatch); None -> search."""
+        key_results = (sync_results if sync_results is not None
+                       else syncfinder.search(key_list, wav_data,
+                                              SyncMode.CLIP))
         n_channels = wav_data.n_channels
         samples = wav_data.samples
         jobs = _DecodeJobs()
@@ -474,7 +479,9 @@ class ClipDecoder:
                 jobs.add(ConvBlockType.ab, normalize_soft_bits(raw), emit)
         jobs.flush()
 
-    def _run_block(self, key_list, wav_data, result_set, pos: str):
+    def _build_window(self, key_list, wav_data, pos: str):
+        """Zero-padded ~2-block window at the stream start or end
+        (src/wmget.cc clip handling); (wav, time_offset) or None."""
         tables = get_key_tables(key_list[0])
         frames_per_block = tables.frames_per_block
         n = (frames_per_block + 5) * FRAME * wav_data.n_channels
@@ -487,7 +494,7 @@ class ClipDecoder:
                 pad_start += n - last_sample
         else:
             if wav_data.n_values <= n:
-                return
+                return None
             first_sample = wav_data.n_values - n
             last_sample = wav_data.n_values
         time_offset = first_sample / wav_data.sample_rate / wav_data.n_channels
@@ -499,12 +506,21 @@ class ClipDecoder:
         # these ~2-block windows would otherwise re-cross the host link
         register_padded(ext, wav_data.samples, first_sample, last_sample,
                         pad_start, pad_end)
-        l_wav = wav_data.with_samples(ext)
-        self._run_padded(key_list, l_wav, result_set, time_offset)
+        return wav_data.with_samples(ext), time_offset
 
     def run(self, key_list, wav_data, result_set: ResultSet):
         tables = get_key_tables(key_list[0])
         wav_frames = wav_data.n_values // (FRAME * wav_data.n_channels)
-        if wav_frames < tables.frames_per_block * 3.1:
-            self._run_block(key_list, wav_data, result_set, "start")
-            self._run_block(key_list, wav_data, result_set, "end")
+        if wav_frames >= tables.frames_per_block * 3.1:
+            return
+        windows = [w for w in
+                   (self._build_window(key_list, wav_data, pos)
+                    for pos in ("start", "end")) if w is not None]
+        # both windows in ONE vmapped search dispatch; None -> per-window
+        pre = (syncfinder.search_clip_pair(
+                   key_list, [w for w, _ in windows])
+               if len(windows) == 2 else None)
+        for i, (l_wav, time_offset) in enumerate(windows):
+            self._run_padded(key_list, l_wav, result_set, time_offset,
+                             sync_results=pre[i] if pre is not None
+                             else None)

@@ -19,6 +19,7 @@ from ..crypto.keys import Key
 from ..ops import sync as sync_ops
 from ..params import Params
 from ..tables import get_key_tables
+from ..utils.devcache import fetch_tree
 
 
 class SyncMode(Enum):
@@ -297,7 +298,7 @@ def _search_fused_one(key: Key, wav_data, mode: SyncMode):
         out = searcher(x, np.int32(n_starts_true), np.int32(true_frames),
                        np.int32(sil_first), np.int32(sil_last),
                        np.int32(0), np.int32(n_starts_s))
-        out_np = {k: np.asarray(v) for k, v in out.items()}
+        out_np = fetch_tree(out)     # one overlapped transfer, not 6 RPCs
         r = _select_from_fused(key, out_np, K, clip, complete)
         if r is not None:
             return r
@@ -370,7 +371,7 @@ def _search_fused_tiled(key: Key, wav_data, tables, sync_bits,
             out = searcher(x, np.int32(n_valid), np.int32(n_samp_rel),
                            np.int32(0), np.int32(seg_vals),
                            np.int32(core_lo), np.int32(core_hi))
-            out_np = {k: np.asarray(v) for k, v in out.items()}
+            out_np = fetch_tree(out)
             n_el = int(np.count_nonzero(out_np["eligible"]))
             aq = np.abs(out_np["q"][:n_el].astype(np.float64)
                         - out_np["mean"][:n_el].astype(np.float64))
@@ -476,7 +477,7 @@ def search_block_group(key_list: List[Key], wav_list) -> Optional[list]:
                                np.full(B, n_starts_s, np.int32))
             except _runtime_error_types():
                 return None     # caller decodes per chunk (its own fallback)
-            out_np = {k: np.asarray(v) for k, v in out.items()}
+            out_np = fetch_tree(out)
             key_rs = []
             for i in range(len(wav_list)):
                 if n_starts[i] <= 0:
@@ -496,6 +497,96 @@ def search_block_group(key_list: List[Key], wav_list) -> Optional[list]:
         for i, r in enumerate(key_rs):
             per_chunk[i].append(r)
     return per_chunk
+
+
+def search_clip_pair(key_list: List[Key],
+                     wav_list) -> Optional[List[List[KeyResult]]]:
+    """CLIP search over the clip decoder's padded start/end windows in ONE
+    vmapped dispatch per key (the windows share the searcher shape, so two
+    separate dispatches pay a second ~0.3 s tunnel round trip for nothing).
+
+    The windows are device-assembled (register_padded) slices of the
+    chunk's cached upload — stacking them on device keeps the batch off
+    the host link entirely.  Returns per-window List[KeyResult] with
+    results identical to search(key_list, window, CLIP), or None when the
+    caller must search per window (--test-no-sync, fused path poisoned,
+    oversize window, slot saturation at the cap, runtime fault)."""
+    if Params.test_no_sync or _fused_runtime_broken or len(wav_list) < 2:
+        return None
+    import jax.numpy as jnp
+
+    from ..ops import search_fused
+    from ..utils import prof
+    from ..utils.devcache import device_audio
+
+    C = wav_list[0].n_channels
+    sizes = [w.samples.size for w in wav_list]
+    Fs = [s // C // Params.frame_size for s in sizes]
+    T = max(search_fused.bucket_frames(F) for F in Fs)
+    if T > search_fused.MAX_FUSED_FRAMES:
+        return None              # clips are short; oversize -> per-window
+    tile_vals = T * Params.frame_size * C
+    B = len(wav_list)
+
+    with prof.phase("get.search_clip"):
+        sil = [_scan_silence(w.samples) for w in wav_list]
+        xs = []
+        for w in wav_list:
+            x = device_audio(w.samples)
+            if x.shape[0] < tile_vals:
+                x = jnp.concatenate(
+                    [x, jnp.zeros(tile_vals - x.shape[0], jnp.float32)])
+            xs.append(x)
+        xb = jnp.stack(xs)
+
+        per_window: List[List[KeyResult]] = [[] for _ in wav_list]
+        for key in key_list:
+            tables = get_key_tables(key)
+            sync_bits = sync_ops.build_sync_bits(tables, True)
+            n_starts_s = sync_ops.SHIFTS * (T - 1 - sync_bits.total_frames)
+            if n_starts_s <= 0:
+                return None
+            n_starts = np.array(
+                [max(sync_ops.SHIFTS * (F - 1 - sync_bits.total_frames), 0)
+                 for F in Fs], np.int32)
+            frames = np.array([s // C for s in sizes], np.int32)
+            sfirst = np.array([a for a, _ in sil], np.int32)
+            slast = np.array([b for _, b in sil], np.int32)
+
+            k_min = 0
+            while True:
+                K, complete = _fused_k_for(T, tables.frames_per_block,
+                                           n_starts_s, k_min)
+                searcher = search_fused.build_searcher_group(
+                    tables, True, T, C, K, B, 1)
+                if searcher is None:
+                    return None
+                try:
+                    out = searcher(xb, n_starts, frames, sfirst, slast,
+                                   np.zeros(B, np.int32),
+                                   np.full(B, n_starts_s, np.int32))
+                except _runtime_error_types():
+                    return None  # caller searches per window (own fallback)
+                out_np = fetch_tree(out)
+                key_rs = []
+                for i in range(B):
+                    if n_starts[i] <= 0:
+                        key_rs.append(KeyResult(key=key))
+                        continue
+                    r = _select_from_fused(
+                        key, {k: v[i] for k, v in out_np.items()}, K, True,
+                        complete)
+                    if r is None:
+                        break       # saturated window: escalate K
+                    key_rs.append(r)
+                if len(key_rs) == B:
+                    break
+                if complete or K >= _K_CAP:
+                    return None
+                k_min = K * 4
+            for i, r in enumerate(key_rs):
+                per_window[i].append(r)
+    return per_window
 
 
 def search_staged(key_list: List[Key], wav_data,

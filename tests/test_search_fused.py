@@ -105,6 +105,26 @@ def test_clip_search_matches_staged(tmp_path):
     assert len(fused[0].sync_scores) >= 1
 
 
+@pytest.mark.slow
+def test_clip_pair_matches_per_window(tmp_path):
+    """The clip decoder's start/end windows searched in ONE vmapped
+    dispatch (search_clip_pair) must equal the per-window searches."""
+    from audiowmark_tpu.models.decoder import ClipDecoder
+
+    key, wav = _wm_wav(tmp_path, 70, name="pair")
+    dec = ClipDecoder(1)
+    windows = [dec._build_window([key], wav, pos)
+               for pos in ("start", "end")]
+    assert all(w is not None for w in windows)
+    wavs = [w for w, _ in windows]
+    pair = syncfinder.search_clip_pair([key], wavs)
+    assert pair is not None
+    for i, lwav in enumerate(wavs):
+        single = syncfinder.search([key], lwav, SyncMode.CLIP)
+        _assert_same(pair[i], single)
+    assert any(len(kr.sync_scores) for per_win in pair for kr in per_win)
+
+
 def test_short_stream_returns_empty():
     key = Key()
     wav = WavData(np.zeros(44100 * 2, np.float32), 2, 44100, 16)
