@@ -230,16 +230,56 @@ def _viterbi_mixed_core(codeds: tuple, s_tables: tuple):
                             jnp.concatenate(n_coded))
 
 
+# rows per batched trellis launch: the pallas kernel's VMEM scratch is
+# ~320 KB/row (metric + transpose + expand buffers, ops/viterbi_pallas.py)
+# against the 16 MB scoped limit — an uncapped launch OOMs at B >= ~50
+# (observed at B=60 on the 30-minute-chunk decode)
+_MIXED_CAP = 32
+
+
+def _decode_group_chunked(bt: ConvBlockType, coded: jnp.ndarray):
+    """Single-group decode in <=_MIXED_CAP-row launches.
+
+    Chunk sizes are _MIXED_CAP while full chunks remain, then the
+    remainder padded up to a multiple of 8 — bounded shape set, so big
+    candidate batches don't recompile per count."""
+    B = coded.shape[0]
+    s_table = jnp.asarray(_state_output_table(bt))
+    bits_out, errs_out = [], []
+    k = 0
+    while k < B:
+        n = min(_MIXED_CAP, B - k)
+        n_pad = min(-(-n // 8) * 8, _MIXED_CAP)
+        chunk = coded[k:k + n]
+        if n_pad != n:
+            chunk = jnp.concatenate(
+                [chunk, jnp.zeros((n_pad - n, coded.shape[1]), jnp.float32)])
+        bits, errs = _viterbi_mixed_core((chunk,), (s_table,))
+        bits_out.append(np.asarray(bits, dtype=np.int32)[:n])
+        errs_out.append(np.asarray(errs)[:n])
+        k += n
+    return np.concatenate(bits_out, axis=0), np.concatenate(errs_out)
+
+
 def conv_decode_soft_mixed(groups):
     """ONE trellis launch for a mixed list of (block_type, coded (B_i, n_i))
     groups (equal step counts).  Returns list of (bits (B_i, n_msg_i),
     errs (B_i,)) per group, semantics identical to conv_decode_soft_batch
-    per group."""
+    per group.  Batches larger than _MIXED_CAP total rows decode per group
+    in capped launches instead (VMEM bound on the pallas trellis)."""
     if not groups:
         return []
     steps = {c.shape[1] // len(get_block_type_generators(bt))
              for bt, c in groups}
     assert len(steps) == 1, "mixed decode requires equal step counts"
+    total = sum(c.shape[0] for _, c in groups)
+    if total > _MIXED_CAP:
+        out = []
+        for bt, c in groups:
+            bits, errs = _decode_group_chunked(
+                bt, jnp.asarray(np.asarray(c, dtype=np.float32)))
+            out.append((bits[:, : bits.shape[1] - ORDER], errs))
+        return out
     codeds = tuple(jnp.asarray(np.asarray(c, dtype=np.float32))
                    for _, c in groups)
     s_tables = tuple(jnp.asarray(_state_output_table(bt))

@@ -156,3 +156,32 @@ def test_mixed_decode_matches_per_type_batches():
         bits_s, errs_s = conv_decode_soft_batch(bt, batch)
         assert np.array_equal(bits_m, bits_s)
         np.testing.assert_allclose(errs_m, errs_s, rtol=1e-6)
+
+
+def test_mixed_decode_over_cap_matches_per_type_batches():
+    """Totals above _MIXED_CAP rows must decode through the capped per-group
+    launches (the uncapped pallas trellis OOMs scoped VMEM at B>=~50 on the
+    30-minute-chunk path) and stay bit-exact with the per-type batches."""
+    from audiowmark_tpu.codec import convcode
+    from audiowmark_tpu.codec.convcode import (conv_decode_soft_batch,
+                                               conv_decode_soft_mixed,
+                                               conv_encode)
+    rng = np.random.RandomState(13)
+    groups = []
+    # totals 25+8+7=40 > cap 32; group a exercises a full 32-chunk IF the
+    # cap drops, and the 25-row group covers the padded-remainder branch
+    for bt, n in ((ConvBlockType.a, 25), (ConvBlockType.b, 8),
+                  (ConvBlockType.ab, 7)):
+        rows = []
+        for _ in range(n):
+            bits = rng.randint(0, 2, 128)
+            coded = conv_encode(bt, bits).astype(np.float32)
+            noisy = np.clip(coded + rng.randn(coded.size) * 0.3, 0, 1)
+            rows.append(noisy)
+        groups.append((bt, np.stack(rows).astype(np.float32)))
+    assert sum(b.shape[0] for _, b in groups) > convcode._MIXED_CAP
+    mixed = conv_decode_soft_mixed(groups)
+    for (bt, batch), (bits_m, errs_m) in zip(groups, mixed):
+        bits_s, errs_s = conv_decode_soft_batch(bt, batch)
+        assert np.array_equal(bits_m, bits_s)
+        np.testing.assert_allclose(errs_m, errs_s, rtol=1e-6)
