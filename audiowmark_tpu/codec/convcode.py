@@ -230,11 +230,12 @@ def _viterbi_mixed_core(codeds: tuple, s_tables: tuple):
                             jnp.concatenate(n_coded))
 
 
-# rows per batched trellis launch: the pallas kernel's VMEM scratch is
-# ~320 KB/row (metric + transpose + expand buffers, ops/viterbi_pallas.py)
-# against the 16 MB scoped limit — an uncapped launch OOMs at B >= ~50
-# (observed at B=60 on the 30-minute-chunk decode)
-_MIXED_CAP = 32
+# rows per batched trellis launch: the pallas kernel costs ~768 KB of
+# scoped VMEM per row (320 KB scratch + double-buffered bm/decision blocks
+# + the metric accumulator, ops/viterbi_pallas.py) against the 16 MB
+# limit — observed OOMs: B=60 -> 18.75M (scratch alone), B=24 -> 18.0M
+# (full stack).  16 rows = 12 MB, with headroom.
+_MIXED_CAP = 16
 
 
 def _decode_group_chunked(bt: ConvBlockType, coded: jnp.ndarray):
