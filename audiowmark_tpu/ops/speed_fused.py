@@ -101,6 +101,7 @@ def _scan_body(xpad: jnp.ndarray,
                fr: jnp.ndarray, half_width: jnp.ndarray,
                so_hi: jnp.ndarray, so_lo: jnp.ndarray,
                fo_hi: jnp.ndarray, fo_lo: jnp.ndarray,
+               cols: jnp.ndarray, swap: jnp.ndarray,
                bit_onehot: jnp.ndarray, dftm: jnp.ndarray,
                v: jnp.ndarray, norm: jnp.ndarray,
                n_tiles: int, rows_bucket: int) -> jnp.ndarray:
@@ -109,11 +110,14 @@ def _scan_body(xpad: jnp.ndarray,
     xpad: (Npad, C) clip with HALF_TAPS-1 leading zeros; anchor_*: (K,
     n_tiles) per-tile 16.32 position anchors; inv_*: (K,) 16.32 limbs of
     1/ratio; in_limit/rows: (K,) truncation bound (xpad index) and valid
-    mag-matrix rows; so_*/fo_*: (R, states)/(R, 3J) 16.16 offset halves.
+    mag-matrix rows; so_*/fo_*: (R, states)/(R, Jk) 16.16 offset halves
+    over the PRUNED entry axis (speed_scan drops (block, j) entries whose
+    row index falls outside the clip for every state — the reference's
+    have_mag==0 rows, src/wmspeed.cc:330-360 — which for a 25 s scan1 clip
+    removes ~half the gather); cols/swap: (Jk,) per-entry mag-matrix
+    column and B-block up/down swap flag.
     """
     C = xpad.shape[1]
-    threeJ = fo_hi.shape[1]
-    J = threeJ // 3
     taps = jnp.arange(N_TAPS, dtype=jnp.int32)
     tap_rel = taps.astype(jnp.float32) - (HALF_TAPS - 1)
 
@@ -157,20 +161,23 @@ def _scan_body(xpad: jnp.ndarray,
                        jnp.float32(-96.0))
         D = jnp.dot(jnp.sum(db, axis=1), v.T,
                     preferred_element_type=jnp.float32)     # (rows, 2J)
+        # (rows, J, 2) so each entry's (up, down) pair is ONE contiguous
+        # 2-element gather slice instead of two scalar gathers (the random
+        # element gather is the scan's dominant cost; halving the index
+        # count halves the HBM sector traffic)
+        D3 = D.reshape(D.shape[0], -1, 2)
 
-        cols = jnp.tile(jnp.arange(J, dtype=jnp.int32), 3)
-        swap = jnp.concatenate([jnp.zeros(J), jnp.ones(J), jnp.zeros(J)]
-                               ).astype(jnp.float32)
         expect = (jnp.arange(6) & 1).astype(jnp.float32)[None, :]
 
         def per_speed(sp_args):
             s_hi, s_lo, f_hi, f_lo = sp_args
             carry = (s_lo[:, None] + f_lo[None, :]) >> OFFSET_SHIFT
-            idx = s_hi[:, None] + f_hi[None, :] + carry     # (states, 3J)
+            idx = s_hi[:, None] + f_hi[None, :] + carry     # (states, Jk)
             mask = ((idx >= 0) & (idx < rws)).astype(jnp.float32)
             idx = jnp.clip(idx, 0, D.shape[0] - 1)
-            u_raw = D[idx, 2 * cols[None, :]]
-            d_raw = D[idx, 2 * cols[None, :] + 1]
+            g = D3[idx, cols[None, :]]                      # (states, Jk, 2)
+            u_raw = g[..., 0]
+            d_raw = g[..., 1]
             u = jnp.where(swap[None, :] > 0, d_raw, u_raw) * mask
             d = jnp.where(swap[None, :] > 0, u_raw, d_raw) * mask
             u_bit = jnp.dot(u, bit_onehot,
@@ -235,7 +242,7 @@ def _speed_scan_core_sharded(n_dev: int, n_tiles: int, rows_bucket: int):
     mesh = Mesh(np.array(jax.devices()[:n_dev]), axis_names=("centers",))
     body = partial(_scan_body, n_tiles=n_tiles, rows_bucket=rows_bucket)
     in_specs = ((P(),) + (P("centers"),) * _N_CENTER_ARGS
-                + (P(),) * 8)
+                + (P(),) * 10)
     fn = shard_map(body, mesh=mesh, in_specs=in_specs,
                    out_specs=P("centers"), check_vma=False)
     return jax.jit(fn)
@@ -299,11 +306,39 @@ def speed_scan(clip_samples: np.ndarray, n_channels: int,
     so_hi, so_lo, fo_hi, fo_lo = _offset_tables(tuple(rels), sync_bits)
     norm = 1.0 / (min(Params.water_delta, 0.080) * 2.9)
 
+    # prune (block, j) entries masked for EVERY state at every center in
+    # this scan: valid needs 0 <= s_hi[s] + f_hi[j] + carry < rows for some
+    # s, so any j with f_hi past max_rows - min(s_hi) (or before -max(s_hi)
+    # - 1) never contributes (the clip is shorter than 3 blocks; scan1's
+    # 25 s clip masks block 2 entirely and much of block 1).  Exact: the
+    # kernel's own mask already zeroed these — they were pure gather cost.
+    J = sync_bits.frame.size
+    keep = np.zeros(3 * J, dtype=bool)
+    for r in range(len(rels)):
+        keep |= ((fo_hi[r] + int(so_hi[r, -1]) + 1 >= 0)
+                 & (fo_hi[r] + int(so_hi[r, 0]) < max_rows))
+    kept = np.nonzero(keep)[0]
+    if kept.size == 0:
+        return [[(0.0, rel * c) for rel in rels] for c in centers]
+    jk = -(-kept.size // 128) * 128
+    fo_hi_k = np.full((len(rels), jk), 1 << 28, dtype=fo_hi.dtype)
+    fo_lo_k = np.zeros((len(rels), jk), dtype=fo_lo.dtype)
+    fo_hi_k[:, :kept.size] = fo_hi[:, kept]
+    fo_lo_k[:, :kept.size] = fo_lo[:, kept]
+    cols_k = np.zeros(jk, dtype=np.int32)
+    cols_k[:kept.size] = (kept % J).astype(np.int32)
+    swap_k = np.zeros(jk, dtype=np.float32)
+    swap_k[:kept.size] = (kept // J == 1).astype(np.float32)
+    onehot_full = _bit_onehot(sync_bits)
+    onehot_k = np.zeros((jk, 6), dtype=np.float32)
+    onehot_k[:kept.size] = onehot_full[kept]
+
     # constants uploaded once, reused by every group dispatch
     xpad_d = jax.device_put(xpad)
     so_hi_d, so_lo_d = jax.device_put(so_hi), jax.device_put(so_lo)
-    fo_hi_d, fo_lo_d = jax.device_put(fo_hi), jax.device_put(fo_lo)
-    onehot_d = jax.device_put(_bit_onehot(sync_bits))
+    fo_hi_d, fo_lo_d = jax.device_put(fo_hi_k), jax.device_put(fo_lo_k)
+    cols_d, swap_d = jax.device_put(cols_k), jax.device_put(swap_k)
+    onehot_d = jax.device_put(onehot_k)
     dftm_d = jax.device_put(_sub_dft_matrix())
     v_d = jax.device_put(sync_bits.v)
 
@@ -357,7 +392,7 @@ def speed_scan(clip_samples: np.ndarray, n_channels: int,
             jnp.asarray(in_limit), jnp.asarray(rows_arr),
             jnp.asarray(fr), jnp.asarray(half_width),
             so_hi_d, so_lo_d, fo_hi_d, fo_lo_d,
-            onehot_d, dftm_d, v_d, jnp.float32(norm)))
+            cols_d, swap_d, onehot_d, dftm_d, v_d, jnp.float32(norm)))
         per_center_rows.extend(
             [(float(q[i, r]), rel * center) for r, rel in enumerate(rels)]
             for i, center in enumerate(gc))
