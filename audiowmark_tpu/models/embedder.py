@@ -233,15 +233,16 @@ def _add_file_fast(embedder: StreamingEmbedder,
 
     with prof.phase("add.hostprep"):
         G = max(-(-n_frames_in // FRAME), 1)
-        padded = np.zeros(G * FRAME * n_channels, dtype=np.float32)
-        padded[:samples.size] = samples
-
         # int16 upload when every sample sits exactly on the 16-bit grid
-        # (16-bit PCM / FLAC / 8-bit sources); halves host->device bytes
+        # (16-bit PCM / FLAC / 8-bit sources); halves host->device bytes.
+        # The grid check runs on the unpadded buffer so the zero-pad copy
+        # happens in int16 (half the host memory traffic) when it passes.
         from ..utils.devcache import i16_grid
-        i16 = i16_grid(padded)
+        i16 = i16_grid(samples)
         in_i16 = i16 is not None
-        x = i16 if in_i16 else padded
+        x = np.zeros(G * FRAME * n_channels,
+                     dtype=np.int16 if in_i16 else np.float32)
+        x[:samples.size] = i16 if in_i16 else samples
 
     writer = getattr(out_stream, "writer", None)
     out_i16 = bool(writer is not None and writer.bit_depth == 16
