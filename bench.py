@@ -501,7 +501,7 @@ class _PhaseRunner:
 
 
 def main():
-    # Phase order: the headline metrics (io floor + production + fused +
+    # Phase order: the headline metrics (production + io floor + fused +
     # batch) land FIRST so a wedged later phase cannot starve them.  All
     # phases share ONE persistent spawned worker (the remote-TPU client
     # cold-start is 90-220 s per process); the parent enforces per-phase
@@ -557,17 +557,29 @@ def main():
               file=sys.stderr)
         return out
 
-    io_floor_factor, up_mbs, down_mbs, spread = run(
-        "io_floor", (0.0, 0.0, 0.0, (0, 0, 0, 0)), 420)
-    result["io_floor_factor"] = round(io_floor_factor, 1)
-    result["link_mb_s"] = [round(up_mbs, 1), round(down_mbs, 1)]
-    result["link_mb_s_spread"] = [round(v, 1) for v in spread]
-    emit()
-
+    # production FIRST: it is the headline metric, and a slow/hung tunnel
+    # cold start must never starve it (BENCH_r04 rehearsal lost io_floor to
+    # an 840 s first-phase timeout; had that been production the round's
+    # whole story would be a zero again)
     prod_factor, add_s, get_s, phases = run(
         "production", (0.0, 0.0, 0.0, {}), 1200)
     result["value"] = round(prod_factor, 1)
     result["vs_baseline"] = round(prod_factor / 1000.0, 3)
+    result["prod_add_s"] = round(add_s, 2)
+    result["prod_get_s"] = round(get_s, 2)
+    result["prod_phases_s"] = phases       # mean seconds per iteration
+    emit()
+
+    io_floor_factor, up_mbs, down_mbs, spread = run(
+        "io_floor", (0.0, 0.0, 0.0, (0, 0, 0, 0)), 420)
+    if not io_floor_factor and "io_floor" not in skipped:
+        # cheap once the worker is warm; one retry survives a respawn after
+        # a production-phase fault or a pathological cold start
+        io_floor_factor, up_mbs, down_mbs, spread = run(
+            "io_floor", (0.0, 0.0, 0.0, (0, 0, 0, 0)), 420)
+    result["io_floor_factor"] = round(io_floor_factor, 1)
+    result["link_mb_s"] = [round(up_mbs, 1), round(down_mbs, 1)]
+    result["link_mb_s_spread"] = [round(v, 1) for v in spread]
     # the file API must move the audio over the host link 3x; through the
     # remote-TPU tunnel that bound (io_floor_factor) — not compute — caps
     # the production number.  This ratio shows how close the implementation
@@ -575,9 +587,6 @@ def main():
     # >10000x.
     result["production_pct_of_io_floor"] = round(
         100.0 * prod_factor / io_floor_factor, 1) if io_floor_factor else 0.0
-    result["prod_add_s"] = round(add_s, 2)
-    result["prod_get_s"] = round(get_s, 2)
-    result["prod_phases_s"] = phases       # mean seconds per iteration
     emit()
 
     fused_factor, compile_s, mfu = run("fused", (0.0, 0.0, -1.0), 900)
