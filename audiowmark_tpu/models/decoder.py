@@ -25,8 +25,8 @@ import jax.numpy as jnp
 from ..codec import ConvBlockType, code_size
 from ..codec.dispatch import code_decode_soft_batch
 from ..crypto.keys import Key
-from ..ops.frames import FRAME, MIN_DB, _LOG2_DB, analysis_window
-from ..ops.sync import band_dot, dft_mode
+from ..ops.frames import FRAME, analysis_window
+from ..ops.sync import dft_mode
 from ..params import Params
 from ..tables import KeyTables, get_key_tables, randomize_bit_order
 from ..utils.devcache import (device_array, device_audio, memo_derived,
@@ -64,38 +64,11 @@ def _block_raw_batch_dev(x: jnp.ndarray, indices: jnp.ndarray,
     TPU pads the minor dim to 128 lanes (64x memory; long chunks OOM);
     the per-candidate reshape fuses inside the kernel.
     """
-    n_bands = Params.max_band - Params.min_band + 1
-    C = n_ch
+    from ..ops.extract import block_raw_one
 
     def one(i):
-        w = jax.lax.dynamic_slice_in_dim(x, i * C, count * FRAME * C)
-        if use_dft:
-            flat = jnp.swapaxes(w.reshape(count, FRAME, C), 1, 2)
-            spec = band_dot(flat.reshape(count * C, FRAME), dftm, use_dft)
-            abs2 = spec[:, :n_bands] ** 2 + spec[:, n_bands:] ** 2
-            abs2 = abs2.reshape(count, C, n_bands)
-        else:
-            wf = jnp.swapaxes(w.reshape(count, FRAME, C), 1, 2)
-            spec = jnp.fft.rfft(wf * awin[None, None, :], axis=-1)
-            spec = spec[:, :, Params.min_band:Params.max_band + 1]
-            abs2 = jnp.real(spec) ** 2 + jnp.imag(spec) ** 2
-        db = jnp.where(abs2 > 0, jnp.log2(abs2) * jnp.float32(_LOG2_DB),
-                       jnp.float32(MIN_DB))
-        # background subtraction with edge reflection
-        # (src/wmget.cc:86-97) + channel sum
-        nxt = jnp.concatenate([jnp.arange(1, count),
-                               jnp.array([count - 2])])
-        prv = jnp.concatenate([jnp.array([1]), jnp.arange(count - 1)])
-        A = jnp.sum(db - 0.5 * (db[prv] + db[nxt]), axis=1)
-        if mix:
-            u = A[lay_frame, lay_up]
-            d = A[lay_frame, lay_dn]
-            raw = jnp.sum((u - d).reshape(-1, group), axis=1)
-        else:
-            u = jnp.sum(A[lay_frame[:, None], lay_up], axis=1)
-            d = jnp.sum(A[lay_frame[:, None], lay_dn], axis=1)
-            raw = jnp.sum((u - d).reshape(-1, fpb), axis=1)
-        return raw
+        return block_raw_one(x, i, awin, dftm, lay_frame, lay_up, lay_dn,
+                             count, use_dft, mix, group, fpb, n_ch)
 
     return jax.lax.map(one, indices)
 
@@ -149,6 +122,28 @@ def _block_raw_batch(samples: np.ndarray, n_channels: int,
             frame_count, dft_mode(), bool(Params.mix), group,
             Params.frames_per_bit, n_channels))
     return {i: raws[k].astype(np.float32) for k, i in enumerate(valid)}
+
+
+def _raw_map_from_scores(samples: np.ndarray, n_channels: int, scores,
+                         tables: KeyTables, clip: bool):
+    """{index: raw} from the raws the fused search already extracted
+    in-kernel at the refined positions (Score.raw/raw2), applying the same
+    reads-past-the-end drop rule as _block_raw_batch; None when any score
+    lacks them (staged/tiled search) — the caller batches its own
+    extraction."""
+    need2 = clip
+    if not scores or any(ss.raw is None or (need2 and ss.raw2 is None)
+                         for ss in scores):
+        return None
+    nsf = samples.size // n_channels
+    cnt = tables.frames_per_block * FRAME
+    raw_map = {}
+    for ss in scores:
+        if ss.index + cnt <= nsf:
+            raw_map[ss.index] = ss.raw
+        if clip and ss.index + 2 * cnt <= nsf:
+            raw_map[ss.index + cnt] = ss.raw2
+    return raw_map
 
 
 def _background_subtract(db: np.ndarray) -> np.ndarray:
@@ -271,26 +266,35 @@ class BlockDecoder:
         self.key_results: List[syncfinder.KeyResult] = []
 
     def run(self, key_list: List[Key], wav_data, result_set: ResultSet,
-            sync_results: List[syncfinder.KeyResult] = None):
+            sync_results: List[syncfinder.KeyResult] = None, jobs=None):
         """sync_results: precomputed BLOCK KeyResults (the multi-chip chunk
         group path searches many chunks in one sharded dispatch and hands
-        each chunk's results in here); None -> search now."""
+        each chunk's results in here); None -> search now.
+        jobs: a shared _DecodeJobs queue — the caller flushes (one batched
+        Viterbi launch covers this decoder AND the clip decoder); None ->
+        private queue, flushed here."""
         self.key_results = (sync_results if sync_results is not None
                             else syncfinder.search(key_list, wav_data,
                                                    SyncMode.BLOCK))
         n_channels = wav_data.n_channels
         samples = wav_data.samples
 
-        jobs = _DecodeJobs()
+        shared_jobs = jobs is not None
+        if not shared_jobs:
+            jobs = _DecodeJobs()
         for key_result in self.key_results:
             key = key_result.key
             tables = get_key_tables(key)
             count = tables.frames_per_block
             pattern_raw: List[_PatternRawBits] = []
 
-            raw_map = _block_raw_batch(
-                samples, n_channels,
-                [ss.index for ss in key_result.sync_scores], tables)
+            raw_map = _raw_map_from_scores(
+                samples, n_channels, key_result.sync_scores, tables,
+                clip=False)
+            if raw_map is None:
+                raw_map = _block_raw_batch(
+                    samples, n_channels,
+                    [ss.index for ss in key_result.sync_scores], tables)
             for sync_score in key_result.sync_scores:
                 raw_bits = raw_map.get(sync_score.index)
                 if raw_bits is None:
@@ -313,7 +317,8 @@ class BlockDecoder:
             self._join_ab(key, tables, pattern_raw, wav_data, result_set,
                           jobs)
             self._all_chain(key, tables, pattern_raw, result_set, jobs)
-        jobs.flush()
+        if not shared_jobs:
+            jobs.flush()
 
         self.debug_sync_frame_count = (
             wav_data.n_values // wav_data.n_channels // FRAME)
@@ -441,23 +446,30 @@ class ClipDecoder:
         self.speed = speed
 
     def _run_padded(self, key_list, wav_data, result_set, time_offset_sec,
-                    sync_results=None):
+                    sync_results=None, jobs=None):
         """sync_results: precomputed CLIP KeyResults (the start/end windows
-        are searched together in one vmapped dispatch); None -> search."""
+        are searched together in one vmapped dispatch); None -> search.
+        jobs: shared _DecodeJobs, flushed by the caller; None -> private."""
         key_results = (sync_results if sync_results is not None
                        else syncfinder.search(key_list, wav_data,
                                               SyncMode.CLIP))
         n_channels = wav_data.n_channels
         samples = wav_data.samples
-        jobs = _DecodeJobs()
+        shared_jobs = jobs is not None
+        if not shared_jobs:
+            jobs = _DecodeJobs()
         for key_result in key_results:
             key = key_result.key
             tables = get_key_tables(key)
             count = tables.frames_per_block
-            raw_map = _block_raw_batch(
-                samples, n_channels,
-                [i for ss in key_result.sync_scores
-                 for i in (ss.index, ss.index + count * FRAME)], tables)
+            raw_map = _raw_map_from_scores(
+                samples, n_channels, key_result.sync_scores, tables,
+                clip=True)
+            if raw_map is None:
+                raw_map = _block_raw_batch(
+                    samples, n_channels,
+                    [i for ss in key_result.sync_scores
+                     for i in (ss.index, ss.index + count * FRAME)], tables)
             for sync_score in key_result.sync_scores:
                 index = sync_score.index
                 r1 = raw_map.get(index)
@@ -477,7 +489,8 @@ class ClipDecoder:
                         bits, err, PatternType.CLIP, self.speed)
 
                 jobs.add(ConvBlockType.ab, normalize_soft_bits(raw), emit)
-        jobs.flush()
+        if not shared_jobs:
+            jobs.flush()
 
     def _build_window(self, key_list, wav_data, pos: str):
         """Zero-padded ~2-block window at the stream start or end
@@ -508,7 +521,7 @@ class ClipDecoder:
                         pad_start, pad_end)
         return wav_data.with_samples(ext), time_offset
 
-    def run(self, key_list, wav_data, result_set: ResultSet):
+    def run(self, key_list, wav_data, result_set: ResultSet, jobs=None):
         tables = get_key_tables(key_list[0])
         wav_frames = wav_data.n_values // (FRAME * wav_data.n_channels)
         if wav_frames >= tables.frames_per_block * 3.1:
@@ -520,7 +533,12 @@ class ClipDecoder:
         pre = (syncfinder.search_clip_pair(
                    key_list, [w for w, _ in windows])
                if len(windows) == 2 else None)
+        shared_jobs = jobs is not None
+        if not shared_jobs:
+            jobs = _DecodeJobs()
         for i, (l_wav, time_offset) in enumerate(windows):
             self._run_padded(key_list, l_wav, result_set, time_offset,
                              sync_results=pre[i] if pre is not None
-                             else None)
+                             else None, jobs=jobs)
+        if not shared_jobs:
+            jobs.flush()

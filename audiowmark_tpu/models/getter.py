@@ -13,7 +13,7 @@ from ..params import Params
 from ..utils.log import error
 from .chunkloader import WavChunkLoader
 from .common import parse_payload
-from .decoder import BlockDecoder, ClipDecoder
+from .decoder import BlockDecoder, ClipDecoder, _DecodeJobs
 from .resultset import ResultSet
 
 
@@ -30,18 +30,26 @@ def _decode(result_set: ResultSet, key_list: List[Key], wav_data: WavData,
         for key, speed in speed_results:
             wav_speed = resample_ratio(wav_data, speed,
                                        int(Params.mark_sample_rate * speed))
+            jobs = _DecodeJobs()
             block_decoder = BlockDecoder(speed)
-            block_decoder.run([key], wav_speed, result_set)
+            block_decoder.run([key], wav_speed, result_set, jobs=jobs)
             if first_chunk:
                 clip_decoder = ClipDecoder(speed)
-                clip_decoder.run([key], wav_speed, result_set)
+                clip_decoder.run([key], wav_speed, result_set, jobs=jobs)
+            jobs.flush()
 
+    # block + clip decodes share ONE batched Viterbi launch (the reference
+    # fans both out on the same thread pool, src/wmget.cc:544); three
+    # separate flushes would pay three dispatch+fetch tunnel round trips
+    jobs = _DecodeJobs()
     block_decoder = BlockDecoder(1)
-    block_decoder.run(key_list, wav_data, result_set, sync_results=block_sync)
+    block_decoder.run(key_list, wav_data, result_set,
+                      sync_results=block_sync, jobs=jobs)
 
     if first_chunk:
         clip_decoder = ClipDecoder(1)
-        clip_decoder.run(key_list, wav_data, result_set)
+        clip_decoder.run(key_list, wav_data, result_set, jobs=jobs)
+    jobs.flush()
 
     result_set.debug_sync = block_decoder.debug_sync()
 

@@ -32,6 +32,12 @@ class Score:
     index: int
     quality: float
     block_type: ConvBlockType
+    # raw soft bits extracted in-kernel by the fused search at this score's
+    # refined position (None when the staged/tiled path searched — the
+    # decoder then runs its own extraction batch).  CLIP-mode scores also
+    # carry raw2, the consecutive second block's bits.
+    raw: Optional[np.ndarray] = None
+    raw2: Optional[np.ndarray] = None
 
 
 @dataclass
@@ -45,6 +51,8 @@ class _SearchScore:
     index: int
     raw_quality: float
     local_mean: float
+    raw: Optional[np.ndarray] = None
+    raw2: Optional[np.ndarray] = None
 
     def abs_quality(self) -> float:
         return abs(self.raw_quality - self.local_mean)
@@ -214,7 +222,8 @@ def _finalize_scores(key: Key, refined: List[_SearchScore]) -> KeyResult:
         qd = s.raw_quality - s.local_mean
         result.sync_scores.append(Score(
             index=s.index, quality=abs(qd),
-            block_type=ConvBlockType.a if qd > 0 else ConvBlockType.b))
+            block_type=ConvBlockType.a if qd > 0 else ConvBlockType.b,
+            raw=s.raw, raw2=s.raw2))
     return result
 
 
@@ -239,9 +248,18 @@ def _select_from_fused(key: Key, out_np: dict, K: int, clip: bool,
     if clip:
         keep = min(keep, max(Params.get_n_best, 5))
 
-    refined = [_SearchScore(index=int(rpos[i]), raw_quality=float(rq[i]),
-                            local_mean=float(mean[i]))
-               for i in range(keep)]
+    raws = out_np.get("raws")
+    refined = []
+    for i in range(keep):
+        s = _SearchScore(index=int(rpos[i]), raw_quality=float(rq[i]),
+                         local_mean=float(mean[i]))
+        if raws is not None:
+            if clip:
+                s.raw = np.asarray(raws[i][0], dtype=np.float32)
+                s.raw2 = np.asarray(raws[i][1], dtype=np.float32)
+            else:
+                s.raw = np.asarray(raws[i], dtype=np.float32)
+        refined.append(s)
     return _finalize_scores(key, refined)
 
 

@@ -123,7 +123,8 @@ def _memo_key(tag, clip_mode, T, C, K, dft_bf16, extra=()):
     return (tag, clip_mode, T, C, K, dft_bf16,
             Params.sync_bits, Params.sync_frames_per_bit, Params.min_band,
             Params.max_band, Params.water_delta,
-            Params.frames_per_bit) + tuple(extra)
+            Params.frames_per_bit, bool(Params.mix),
+            Params.bands_per_frame) + tuple(extra)
 
 
 def build_searcher(tables: KeyTables, clip_mode: bool, T: int, C: int,
@@ -131,7 +132,10 @@ def build_searcher(tables: KeyTables, clip_mode: bool, T: int, C: int,
     """Jitted f(x (T*FRAME*C,) f32 interleaved FLAT, n_starts i32,
     n_sample_frames i32, sil_first i32, sil_last i32, core_lo i32,
     core_hi i32) -> dict of (K,) tensors: t (approx tau), q, mean,
-    refined_pos, refined_q, eligible.
+    refined_pos, refined_q, eligible, plus raws — the per-candidate raw
+    soft bits extracted at the refined starts ((K, n_coded) in BLOCK mode,
+    (K, 2, n_coded) consecutive-block pairs in CLIP mode) so the decode
+    path skips its own extraction round trip.
 
     [core_lo, core_hi) restricts ELIGIBILITY (not scoring) to a start-step
     range — the tiled long-stream path computes halo scores outside its
@@ -217,6 +221,27 @@ def _build_searcher(tables: KeyTables, clip_mode: bool, T: int, C: int,
     fine = Params.sync_search_fine
     expect = jnp.asarray((np.arange(Params.sync_bits) & 1)
                          .astype(np.float32))
+
+    # layout tables for the chained per-candidate raw soft-bit extraction
+    # (same derivation as the decoder's standalone batch kernel,
+    # models/decoder._block_raw_batch; shared core: ops/extract.py)
+    fpb_block = tables.frames_per_block
+    use_mix = bool(Params.mix)
+    if use_mix:
+        lay_frame = jnp.asarray(tables.mix_frame.astype(np.int32))
+        lay_up = jnp.asarray((tables.mix_up - Params.min_band)
+                             .astype(np.int32))
+        lay_dn = jnp.asarray((tables.mix_dn - Params.min_band)
+                             .astype(np.int32))
+        lay_group = Params.bands_per_frame * Params.frames_per_bit
+    else:
+        f = np.arange(tables.n_data_frames)
+        lay_frame = jnp.asarray(tables.data_frame(f).astype(np.int32))
+        lay_up = jnp.asarray((tables.data_up - Params.min_band)
+                             .astype(np.int32))
+        lay_dn = jnp.asarray((tables.data_dn - Params.min_band)
+                             .astype(np.int32))
+        lay_group = 0
 
     def bitq_mean(u, d):
         """Plain per-bit mean (BLOCK sweep, matches the staged slice
@@ -394,6 +419,30 @@ def _build_searcher(tables: KeyTables, clip_mode: bool, T: int, C: int,
         rpos, rq = jax.lax.map(refine_one, (tops, q_top, mean_top),
                                batch_size=4)
 
+        # ---- chained raw soft-bit extraction at the refined starts ----
+        # The CLI decode would otherwise pay a separate dispatch + fetch
+        # round trip per chunk (and two per clip window pair) for the same
+        # block spectrograms (src/wmget.cc:503-553).  Out-of-range starts
+        # come back clamped/garbage; the host drops them by the exact
+        # reference rule (index + frames_per_block*FRAME <= true frames).
+        # CLIP candidates decode TWO consecutive blocks (src/wmget.cc clip
+        # handling), so each slot ships an (2, n_coded) pair.
+        from .extract import block_raw_one
+
+        def raw_one(p):
+            r1 = block_raw_one(x_flat, p, awin, dftm, lay_frame, lay_up,
+                               lay_dn, fpb_block, use_dft, use_mix,
+                               lay_group, Params.frames_per_bit, C)
+            if clip_mode:
+                r2 = block_raw_one(x_flat, p + fpb_block * FRAME, awin,
+                                   dftm, lay_frame, lay_up, lay_dn,
+                                   fpb_block, use_dft, use_mix, lay_group,
+                                   Params.frames_per_bit, C)
+                return jnp.stack([r1, r2])
+            return r1
+
+        raws = jax.lax.map(raw_one, rpos, batch_size=2)
+
         return {
             "t": tops,
             "q": q_top,
@@ -401,6 +450,7 @@ def _build_searcher(tables: KeyTables, clip_mode: bool, T: int, C: int,
             "refined_pos": rpos,
             "refined_q": rq,
             "eligible": eligible,
+            "raws": raws,
         }
 
     return search

@@ -125,6 +125,60 @@ def test_clip_pair_matches_per_window(tmp_path):
     assert any(len(kr.sync_scores) for per_win in pair for kr in per_win)
 
 
+def _assert_raws_match(key, wav, scores, clip):
+    """Every in-range score's kernel-extracted raws must equal the
+    decoder's standalone extraction batch (shared core: ops/extract.py)."""
+    from audiowmark_tpu.models.decoder import _block_raw_batch
+    from audiowmark_tpu.ops.frames import FRAME
+    from audiowmark_tpu.tables import get_key_tables
+
+    tables = get_key_tables(key)
+    cnt = tables.frames_per_block * FRAME
+    nsf = wav.samples.size // wav.n_channels
+    indices = [i for s in scores
+               for i in ((s.index, s.index + cnt) if clip else (s.index,))]
+    raw_map = _block_raw_batch(wav.samples, wav.n_channels, indices, tables)
+    checked = 0
+    for s in scores:
+        if s.index + cnt <= nsf:
+            np.testing.assert_allclose(s.raw, raw_map[s.index],
+                                       rtol=1e-5, atol=1e-5)
+            checked += 1
+        if clip and s.index + 2 * cnt <= nsf:
+            np.testing.assert_allclose(s.raw2, raw_map[s.index + cnt],
+                                       rtol=1e-5, atol=1e-5)
+            checked += 1
+    assert checked >= 1
+
+
+def test_fused_block_raws_match_extraction_batch(tmp_path):
+    """The searcher's chained raw soft bits (Score.raw) equal the decoder's
+    separate _block_raw_batch dispatch — the CLI decode path skips that
+    round trip only because they are interchangeable."""
+    key = Key()
+    src = str(tmp_path / "n.wav")
+    gen_noise(key, src, 60, 44100, 16)
+    wav = WavData.load(src)
+    fused = syncfinder.search([key], wav, SyncMode.BLOCK)
+    scores = fused[0].sync_scores
+    assert scores and all(s.raw is not None for s in scores)
+    _assert_raws_match(key, wav, scores, clip=False)
+
+
+@pytest.mark.slow
+def test_fused_clip_raws_match_extraction_batch(tmp_path):
+    """CLIP-mode scores carry BOTH consecutive blocks' raws (raw/raw2)."""
+    from audiowmark_tpu.models.decoder import ClipDecoder
+
+    key, wav = _wm_wav(tmp_path, 40, name="rawclip")
+    lwav, _ = ClipDecoder(1)._build_window([key], wav, "start")
+    fused = syncfinder.search([key], lwav, SyncMode.CLIP)
+    scores = fused[0].sync_scores
+    assert scores and all(s.raw is not None and s.raw2 is not None
+                          for s in scores)
+    _assert_raws_match(key, lwav, scores, clip=True)
+
+
 def test_short_stream_returns_empty():
     key = Key()
     wav = WavData(np.zeros(44100 * 2, np.float32), 2, 44100, 16)
