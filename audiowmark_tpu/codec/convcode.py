@@ -238,62 +238,71 @@ def _viterbi_mixed_core(codeds: tuple, s_tables: tuple):
 _MIXED_CAP = 16
 
 
-def _decode_group_chunked(bt: ConvBlockType, coded: jnp.ndarray):
-    """Single-group decode in <=_MIXED_CAP-row launches.
-
-    Chunk sizes are _MIXED_CAP while full chunks remain, then the
-    remainder padded up to a multiple of 8 — bounded shape set, so big
-    candidate batches don't recompile per count."""
-    B = coded.shape[0]
-    s_table = jnp.asarray(_state_output_table(bt))
-    bits_out, errs_out = [], []
-    k = 0
-    while k < B:
-        n = min(_MIXED_CAP, B - k)
-        n_pad = min(-(-n // 8) * 8, _MIXED_CAP)
-        chunk = coded[k:k + n]
-        if n_pad != n:
-            chunk = jnp.concatenate(
-                [chunk, jnp.zeros((n_pad - n, coded.shape[1]), jnp.float32)])
-        bits, errs = _viterbi_mixed_core((chunk,), (s_table,))
-        bits_out.append(np.asarray(bits, dtype=np.int32)[:n])
-        errs_out.append(np.asarray(errs)[:n])
-        k += n
-    return np.concatenate(bits_out, axis=0), np.concatenate(errs_out)
-
-
 def conv_decode_soft_mixed(groups):
-    """ONE trellis launch for a mixed list of (block_type, coded (B_i, n_i))
-    groups (equal step counts).  Returns list of (bits (B_i, n_msg_i),
-    errs (B_i,)) per group, semantics identical to conv_decode_soft_batch
-    per group.  Batches larger than _MIXED_CAP total rows decode per group
-    in capped launches instead (VMEM bound on the pallas trellis)."""
+    """Mixed-type batched Viterbi decode with a bounded launch plan.
+
+    groups: list of (block_type, coded (B_i, n_i)) with equal step counts
+    (a/b at rate 6 and ab at rate 12 share the step axis, so their branch
+    metrics concat into one trellis grid).  Rows from ALL groups pack into
+    <=_MIXED_CAP-row launches in 4-row units — each unit is one subgroup,
+    so the compiled-shape set stays small whatever the a/b/ab mix — and
+    EVERY launch is enqueued before any result is fetched: through the
+    remote-TPU tunnel the per-launch dispatch+fetch round trips overlap
+    instead of serializing.  Returns [(bits (B_i, n_msg_i), errs (B_i,))]
+    per group, semantics identical to conv_decode_soft_batch per group."""
     if not groups:
         return []
     steps = {c.shape[1] // len(get_block_type_generators(bt))
              for bt, c in groups}
     assert len(steps) == 1, "mixed decode requires equal step counts"
-    total = sum(c.shape[0] for _, c in groups)
-    if total > _MIXED_CAP:
-        out = []
-        for bt, c in groups:
-            bits, errs = _decode_group_chunked(
-                bt, jnp.asarray(np.asarray(c, dtype=np.float32)))
-            out.append((bits[:, : bits.shape[1] - ORDER], errs))
-        return out
-    codeds = tuple(jnp.asarray(np.asarray(c, dtype=np.float32))
-                   for _, c in groups)
-    s_tables = tuple(jnp.asarray(_state_output_table(bt))
-                     for bt, _ in groups)
-    bits, errs = _viterbi_mixed_core(codeds, s_tables)
-    bits = np.asarray(bits, dtype=np.int32)
-    errs = np.asarray(errs)
+
+    table_cache = {}
+    counts = []
+    units = []                     # (group index, coded rows (4, n), table)
+    for gi, (bt, c) in enumerate(groups):
+        c = np.asarray(c, dtype=np.float32)
+        counts.append(c.shape[0])
+        pad = -c.shape[0] % 4
+        if pad:
+            c = np.concatenate(
+                [c, np.zeros((pad, c.shape[1]), np.float32)])
+        if bt not in table_cache:
+            table_cache[bt] = jnp.asarray(_state_output_table(bt))
+        cj = jnp.asarray(c)
+        for k in range(0, c.shape[0], 4):
+            units.append((gi, cj[k:k + 4], table_cache[bt]))
+
+    launches = []                  # (units of the launch, device outputs)
+    i = 0
+    while i < len(units):
+        take = units[i: i + _MIXED_CAP // 4]
+        i += len(take)
+        dev = _viterbi_mixed_core(tuple(u[1] for u in take),
+                                  tuple(u[2] for u in take))
+        launches.append((take, dev))
+
+    per_bits = [[] for _ in groups]
+    per_errs = [[] for _ in groups]
+    for take, (bits_d, errs_d) in launches:
+        bits = np.asarray(bits_d, dtype=np.int32)
+        errs = np.asarray(errs_d)
+        k = 0
+        for gi, rows, _ in take:
+            n = rows.shape[0]
+            per_bits[gi].append(bits[k:k + n])
+            per_errs[gi].append(errs[k:k + n])
+            k += n
     out = []
-    k = 0
-    for _, c in groups:
-        b = bits[k:k + c.shape[0]]
-        out.append((b[:, : b.shape[1] - ORDER], errs[k:k + c.shape[0]]))
-        k += c.shape[0]
+    for gi, (bt, c) in enumerate(groups):
+        if not per_bits[gi]:       # empty group: typed empty outputs
+            rate = len(get_block_type_generators(bt))
+            n_msg = c.shape[1] // rate - ORDER
+            out.append((np.zeros((0, max(n_msg, 0)), np.int32),
+                        np.zeros(0, np.float32)))
+            continue
+        b = np.concatenate(per_bits[gi], axis=0)[: counts[gi]]
+        e = np.concatenate(per_errs[gi])[: counts[gi]]
+        out.append((b[:, : b.shape[1] - ORDER], e))
     return out
 
 

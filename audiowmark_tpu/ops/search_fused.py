@@ -124,7 +124,7 @@ def _memo_key(tag, clip_mode, T, C, K, dft_bf16, extra=()):
             Params.sync_bits, Params.sync_frames_per_bit, Params.min_band,
             Params.max_band, Params.water_delta,
             Params.frames_per_bit, bool(Params.mix),
-            Params.bands_per_frame) + tuple(extra)
+            Params.bands_per_frame, Params.get_n_best) + tuple(extra)
 
 
 def build_searcher(tables: KeyTables, clip_mode: bool, T: int, C: int,
@@ -426,8 +426,14 @@ def _build_searcher(tables: KeyTables, clip_mode: bool, T: int, C: int,
         # come back clamped/garbage; the host drops them by the exact
         # reference rule (index + frames_per_block*FRAME <= true frames).
         # CLIP candidates decode TWO consecutive blocks (src/wmget.cc clip
-        # handling), so each slot ships an (2, n_coded) pair.
+        # handling), so each slot ships an (2, n_coded) pair — and CLIP
+        # selection keeps at most max(n_best, 5) candidates, so only the
+        # leading quality-ordered slots extract (K slots would triple the
+        # extraction work for candidates the host is guaranteed to drop).
         from .extract import block_raw_one
+
+        n_extract = min(K, -(-max(Params.get_n_best, 5) // 2) * 2) \
+            if clip_mode else K
 
         def raw_one(p):
             r1 = block_raw_one(x_flat, p, awin, dftm, lay_frame, lay_up,
@@ -441,7 +447,7 @@ def _build_searcher(tables: KeyTables, clip_mode: bool, T: int, C: int,
                 return jnp.stack([r1, r2])
             return r1
 
-        raws = jax.lax.map(raw_one, rpos, batch_size=2)
+        raws = jax.lax.map(raw_one, rpos[:n_extract], batch_size=2)
 
         return {
             "t": tops,
