@@ -521,24 +521,40 @@ class ClipDecoder:
                         pad_start, pad_end)
         return wav_data.with_samples(ext), time_offset
 
-    def run(self, key_list, wav_data, result_set: ResultSet, jobs=None):
+    def launch(self, key_list, wav_data):
+        """Dispatch half: build the padded windows and ENQUEUE the vmapped
+        pair search without fetching; returns finish(result_set, jobs) or
+        None when the stream is too long for clip decoding.  The CLI calls
+        launch() before the block search's blocking fetch, so the clip
+        windows score while the block results are in flight."""
         tables = get_key_tables(key_list[0])
         wav_frames = wav_data.n_values // (FRAME * wav_data.n_channels)
         if wav_frames >= tables.frames_per_block * 3.1:
-            return
+            return None
         windows = [w for w in
                    (self._build_window(key_list, wav_data, pos)
                     for pos in ("start", "end")) if w is not None]
         # both windows in ONE vmapped search dispatch; None -> per-window
-        pre = (syncfinder.search_clip_pair(
-                   key_list, [w for w, _ in windows])
-               if len(windows) == 2 else None)
+        pair_fin = (syncfinder.search_clip_pair_launch(
+                        key_list, [w for w, _ in windows])
+                    if len(windows) == 2 else None)
+
+        def finish(result_set: ResultSet, jobs):
+            pre = pair_fin() if pair_fin is not None else None
+            for i, (l_wav, time_offset) in enumerate(windows):
+                self._run_padded(key_list, l_wav, result_set, time_offset,
+                                 sync_results=pre[i] if pre is not None
+                                 else None, jobs=jobs)
+
+        return finish
+
+    def run(self, key_list, wav_data, result_set: ResultSet, jobs=None):
+        fin = self.launch(key_list, wav_data)
+        if fin is None:
+            return
         shared_jobs = jobs is not None
         if not shared_jobs:
             jobs = _DecodeJobs()
-        for i, (l_wav, time_offset) in enumerate(windows):
-            self._run_padded(key_list, l_wav, result_set, time_offset,
-                             sync_results=pre[i] if pre is not None
-                             else None, jobs=jobs)
+        fin(result_set, jobs)
         if not shared_jobs:
             jobs.flush()

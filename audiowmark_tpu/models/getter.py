@@ -39,16 +39,22 @@ def _decode(result_set: ResultSet, key_list: List[Key], wav_data: WavData,
             jobs.flush()
 
     # block + clip decodes share ONE batched Viterbi launch (the reference
-    # fans both out on the same thread pool, src/wmget.cc:544); three
-    # separate flushes would pay three dispatch+fetch tunnel round trips
+    # fans both out on the same thread pool, src/wmget.cc:544), and the
+    # clip pair search is ENQUEUED before the block search's blocking
+    # fetch — the clip windows score on device while the block results are
+    # in flight over the tunnel
     jobs = _DecodeJobs()
+    clip_fin = None
+    if first_chunk:
+        clip_decoder = ClipDecoder(1)
+        clip_fin = clip_decoder.launch(key_list, wav_data)
+
     block_decoder = BlockDecoder(1)
     block_decoder.run(key_list, wav_data, result_set,
                       sync_results=block_sync, jobs=jobs)
 
-    if first_chunk:
-        clip_decoder = ClipDecoder(1)
-        clip_decoder.run(key_list, wav_data, result_set, jobs=jobs)
+    if clip_fin is not None:
+        clip_fin(result_set, jobs)
     jobs.flush()
 
     result_set.debug_sync = block_decoder.debug_sync()

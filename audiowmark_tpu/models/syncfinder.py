@@ -517,18 +517,17 @@ def search_block_group(key_list: List[Key], wav_list) -> Optional[list]:
     return per_chunk
 
 
-def search_clip_pair(key_list: List[Key],
-                     wav_list) -> Optional[List[List[KeyResult]]]:
-    """CLIP search over the clip decoder's padded start/end windows in ONE
-    vmapped dispatch per key (the windows share the searcher shape, so two
-    separate dispatches pay a second ~0.3 s tunnel round trip for nothing).
+def search_clip_pair_launch(key_list: List[Key], wav_list):
+    """DISPATCH half of search_clip_pair: device-assemble the padded
+    windows and enqueue one vmapped search dispatch per key, WITHOUT
+    fetching.  Returns a zero-arg finish() that fetches + selects (with
+    synchronous slot-saturation escalation retries), or None when the
+    pair path is unavailable up front.
 
-    The windows are device-assembled (register_padded) slices of the
-    chunk's cached upload — stacking them on device keeps the batch off
-    the host link entirely.  Returns per-window List[KeyResult] with
-    results identical to search(key_list, window, CLIP), or None when the
-    caller must search per window (--test-no-sync, fused path poisoned,
-    oversize window, slot saturation at the cap, runtime fault)."""
+    The split lets the CLI enqueue the clip search BEFORE the block
+    search's blocking fetch — through the remote-TPU tunnel the clip
+    windows then score while the block results are in flight, instead of
+    paying a second full dispatch+fetch round trip afterwards."""
     if Params.test_no_sync or _fused_runtime_broken or len(wav_list) < 2:
         return None
     import jax.numpy as jnp
@@ -557,7 +556,7 @@ def search_clip_pair(key_list: List[Key],
             xs.append(x)
         xb = jnp.stack(xs)
 
-        per_window: List[List[KeyResult]] = [[] for _ in wav_list]
+        pending = []             # (key, geometry..., first dispatch output)
         for key in key_list:
             tables = get_key_tables(key)
             sync_bits = sync_ops.build_sync_bits(tables, True)
@@ -570,41 +569,77 @@ def search_clip_pair(key_list: List[Key],
             frames = np.array([s // C for s in sizes], np.int32)
             sfirst = np.array([a for a, _ in sil], np.int32)
             slast = np.array([b for _, b in sil], np.int32)
+            args = (n_starts, frames, sfirst, slast,
+                    np.zeros(B, np.int32), np.full(B, n_starts_s, np.int32))
 
-            k_min = 0
-            while True:
-                K, complete = _fused_k_for(T, tables.frames_per_block,
-                                           n_starts_s, k_min)
-                searcher = search_fused.build_searcher_group(
-                    tables, True, T, C, K, B, 1)
-                if searcher is None:
-                    return None
-                try:
-                    out = searcher(xb, n_starts, frames, sfirst, slast,
-                                   np.zeros(B, np.int32),
-                                   np.full(B, n_starts_s, np.int32))
-                except _runtime_error_types():
-                    return None  # caller searches per window (own fallback)
-                out_np = fetch_tree(out)
-                key_rs = []
-                for i in range(B):
-                    if n_starts[i] <= 0:
-                        key_rs.append(KeyResult(key=key))
-                        continue
-                    r = _select_from_fused(
-                        key, {k: v[i] for k, v in out_np.items()}, K, True,
-                        complete)
-                    if r is None:
-                        break       # saturated window: escalate K
-                    key_rs.append(r)
-                if len(key_rs) == B:
-                    break
-                if complete or K >= _K_CAP:
-                    return None
-                k_min = K * 4
-            for i, r in enumerate(key_rs):
-                per_window[i].append(r)
-    return per_window
+            K, complete = _fused_k_for(T, tables.frames_per_block,
+                                       n_starts_s)
+            searcher = search_fused.build_searcher_group(
+                tables, True, T, C, K, B, 1)
+            if searcher is None:
+                return None
+            try:
+                out = searcher(xb, *args)    # enqueued, NOT fetched
+            except _runtime_error_types():
+                return None  # caller searches per window (own fallback)
+            pending.append((key, tables, n_starts_s, args, K, complete,
+                            out))
+
+    def finish() -> Optional[List[List[KeyResult]]]:
+        with prof.phase("get.search_clip"):
+            per_window: List[List[KeyResult]] = [[] for _ in wav_list]
+            for key, tables, n_starts_s, args, K, complete, out in pending:
+                n_starts = args[0]
+                while True:
+                    out_np = fetch_tree(out)
+                    key_rs = []
+                    for i in range(B):
+                        if n_starts[i] <= 0:
+                            key_rs.append(KeyResult(key=key))
+                            continue
+                        r = _select_from_fused(
+                            key, {k: v[i] for k, v in out_np.items()}, K,
+                            True, complete)
+                        if r is None:
+                            break   # saturated window: escalate K
+                        key_rs.append(r)
+                    if len(key_rs) == B:
+                        break
+                    if complete or K >= _K_CAP:
+                        return None
+                    # synchronous escalation retry (rare: reduced sync
+                    # geometries overflowing the default slot count)
+                    K, complete = _fused_k_for(T, tables.frames_per_block,
+                                               n_starts_s, K * 4)
+                    searcher = search_fused.build_searcher_group(
+                        tables, True, T, C, K, B, 1)
+                    if searcher is None:
+                        return None
+                    try:
+                        out = searcher(xb, *args)
+                    except _runtime_error_types():
+                        return None
+                for i, r in enumerate(key_rs):
+                    per_window[i].append(r)
+            return per_window
+
+    return finish
+
+
+def search_clip_pair(key_list: List[Key],
+                     wav_list) -> Optional[List[List[KeyResult]]]:
+    """CLIP search over the clip decoder's padded start/end windows in ONE
+    vmapped dispatch per key (the windows share the searcher shape, so two
+    separate dispatches pay a second ~0.3 s tunnel round trip for nothing).
+
+    The windows are device-assembled (register_padded) slices of the
+    chunk's cached upload — stacking them on device keeps the batch off
+    the host link entirely.  Returns per-window List[KeyResult] with
+    results identical to search(key_list, window, CLIP), or None when the
+    caller must search per window (--test-no-sync, fused path poisoned,
+    oversize window, slot saturation at the cap, runtime fault)."""
+    fin = search_clip_pair_launch(key_list, wav_list)
+    return fin() if fin is not None else None
 
 
 def search_staged(key_list: List[Key], wav_data,
