@@ -37,12 +37,20 @@ import jax
 import jax.numpy as jnp
 
 from ..params import Params
+from ..utils.devcache import fetch_tree
 from .speed import (OFFSET_SHIFT, SUB_FRAME, SUB_HOP, N_BANDS,
                     SpeedSyncBits, _bit_onehot, _sub_dft_matrix)
 
 HALF_TAPS = 48            # covers half_width = 16/ratio for ratio > 1/3
 N_TAPS = 2 * HALF_TAPS
 T_TILE = 8192             # resample tile (bounds the gather intermediate)
+# dense resample band: each _RS_KBLK-output block multiplies a (_RS_KBLK,
+# _RS_WIN) on-the-fly coefficient band against ONE contiguous input window.
+# Window coverage needs (_RS_KBLK-1)/ratio + N_TAPS <= _RS_WIN, i.e.
+# ratio >= 255/927 = 0.275 — strictly below MIN_RATIO, so every center the
+# fused path accepts fits the window.
+_RS_KBLK = 256
+_RS_WIN = 1024
 _ROW_BUCKET = 512
 _XPAD_BUCKET = 1 << 16
 _LOG2_DB = 3.01029995663981
@@ -104,7 +112,8 @@ def _scan_body(xpad: jnp.ndarray,
                cols: jnp.ndarray, swap: jnp.ndarray,
                bit_onehot: jnp.ndarray, dftm: jnp.ndarray,
                v: jnp.ndarray, norm: jnp.ndarray,
-               n_tiles: int, rows_bucket: int) -> jnp.ndarray:
+               n_tiles: int, rows_bucket: int,
+               dense: bool) -> jnp.ndarray:
     """(K, R) best-over-offsets qualities.
 
     xpad: (Npad, C) clip with HALF_TAPS-1 leading zeros; anchor_*: (K,
@@ -118,6 +127,7 @@ def _scan_body(xpad: jnp.ndarray,
     column and B-block up/down swap flag.
     """
     C = xpad.shape[1]
+    nblk = T_TILE // _RS_KBLK
     taps = jnp.arange(N_TAPS, dtype=jnp.int32)
     tap_rel = taps.astype(jnp.float32) - (HALF_TAPS - 1)
 
@@ -134,17 +144,54 @@ def _scan_body(xpad: jnp.ndarray,
             base = ab_t + k * ii + (s1 >> 16)
             frac = (f1.astype(jnp.float32) * 65536.0
                     + f0.astype(jnp.float32)) * jnp.float32(2.0 ** -32)
-            idx = base[:, None] + taps[None, :]
-            valid = (idx < ilim).astype(jnp.float32)
-            g = xpad[jnp.clip(idx, 0, xpad.shape[0] - 1)]   # (T, taps, C)
-            t = frac[:, None] - tap_rel[None, :]
-            w_arg = t / hw_c
-            win = jnp.where(jnp.abs(w_arg) >= 1.0, 0.0,
-                            0.42 + 0.5 * jnp.cos(jnp.pi * w_arg)
-                            + 0.08 * jnp.cos(2 * jnp.pi * w_arg))
-            coeff = fr_c * jnp.sinc(t * fr_c) * win * valid
-            return jnp.einsum("jmc,jm->jc", g, coeff,
-                              preferred_element_type=jnp.float32)
+
+            if not dense:
+                # gather form: 96 taps fetched per output sample.  Random
+                # gathers are cheap on CPU (the test platform) and 11x
+                # slower than the dense band on TPU.
+                idx = base[:, None] + taps[None, :]
+                valid = (idx < ilim).astype(jnp.float32)
+                g = xpad[jnp.clip(idx, 0, xpad.shape[0] - 1)]  # (T, taps, C)
+                t = frac[:, None] - tap_rel[None, :]
+                w_arg = t / hw_c
+                win = jnp.where(jnp.abs(w_arg) >= 1.0, 0.0,
+                                0.42 + 0.5 * jnp.cos(jnp.pi * w_arg)
+                                + 0.08 * jnp.cos(2 * jnp.pi * w_arg))
+                coeff = fr_c * jnp.sinc(t * fr_c) * win * valid
+                return jnp.einsum("jmc,jm->jc", g, coeff,
+                                  preferred_element_type=jnp.float32)
+
+            base_b = base.reshape(nblk, _RS_KBLK)
+            frac_b = frac.reshape(nblk, _RS_KBLK)
+
+            # dense banded form (TPU): each 256-output block reads ONE
+            # contiguous input window and builds its (256, WIN) coefficient
+            # band on the fly — no random gather (11x faster than the
+            # 96-tap gather at scan1 geometry, tools/gather_bench.py).
+            # Taps outside the window's 96-sample support get an
+            # exactly-zero Blackman coefficient, so the extra columns add
+            # exact zeros — the same unified-tap argument that fixed
+            # N_TAPS for every center.
+            def per_blk(bb, fb):
+                wstart = jnp.clip(bb[0], 0, xpad.shape[0] - _RS_WIN)
+                w = jax.lax.dynamic_slice(
+                    xpad, (wstart, jnp.int32(0)), (_RS_WIN, C))
+                p = jnp.arange(_RS_WIN, dtype=jnp.int32)
+                # t for input sample wstart+p relative to output k: the
+                # integer part stays in int32 (exact), matching the gather
+                # form's frac - (m - (HALF_TAPS-1)) bit for bit
+                tint = bb[:, None] - wstart - p[None, :] + (HALF_TAPS - 1)
+                t = tint.astype(jnp.float32) + fb[:, None]
+                w_arg = t / hw_c
+                win = jnp.where(jnp.abs(w_arg) >= 1.0, 0.0,
+                                0.42 + 0.5 * jnp.cos(jnp.pi * w_arg)
+                                + 0.08 * jnp.cos(2 * jnp.pi * w_arg))
+                gvalid = ((wstart + p) < ilim).astype(jnp.float32)
+                coeff = fr_c * jnp.sinc(t * fr_c) * win * gvalid[None, :]
+                return jnp.dot(coeff, w,
+                               preferred_element_type=jnp.float32)
+
+            return jax.vmap(per_blk)(base_b, frac_b).reshape(T_TILE, C)
 
         y = jax.lax.map(per_tile, (ab, a1, a0)).reshape(n_tiles * T_TILE, C)
 
@@ -161,11 +208,13 @@ def _scan_body(xpad: jnp.ndarray,
                        jnp.float32(-96.0))
         D = jnp.dot(jnp.sum(db, axis=1), v.T,
                     preferred_element_type=jnp.float32)     # (rows, 2J)
-        # (rows, J, 2) so each entry's (up, down) pair is ONE contiguous
-        # 2-element gather slice instead of two scalar gathers (the random
-        # element gather is the scan's dominant cost; halving the index
-        # count halves the HBM sector traffic)
-        D3 = D.reshape(D.shape[0], -1, 2)
+        # (rows*J, 2) flattened so the lookup is ONE index vector fetching
+        # contiguous (up, down) pairs: a single-index-array gather runs
+        # 1.5x faster than the two-index-array advanced-indexing form at
+        # scan1 geometry (tools/gather_bench.py), on top of the pair trick
+        # that halved the index count
+        Jfull = D.shape[1] // 2
+        Dflat = D.reshape(-1, 2)
 
         expect = (jnp.arange(6) & 1).astype(jnp.float32)[None, :]
 
@@ -175,7 +224,7 @@ def _scan_body(xpad: jnp.ndarray,
             idx = s_hi[:, None] + f_hi[None, :] + carry     # (states, Jk)
             mask = ((idx >= 0) & (idx < rws)).astype(jnp.float32)
             idx = jnp.clip(idx, 0, D.shape[0] - 1)
-            g = D3[idx, cols[None, :]]                      # (states, Jk, 2)
+            g = Dflat[idx * Jfull + cols[None, :]]          # (states, Jk, 2)
             u_raw = g[..., 0]
             d_raw = g[..., 1]
             u = jnp.where(swap[None, :] > 0, d_raw, u_raw) * mask
@@ -204,10 +253,25 @@ def _scan_body(xpad: jnp.ndarray,
                                     in_limit, rows, fr, half_width))
 
 
-@partial(jax.jit, static_argnames=("n_tiles", "rows_bucket"))
-def _speed_scan_core(*args, n_tiles: int, rows_bucket: int) -> jnp.ndarray:
+@partial(jax.jit, static_argnames=("n_tiles", "rows_bucket", "dense"))
+def _speed_scan_core(*args, n_tiles: int, rows_bucket: int,
+                     dense: bool) -> jnp.ndarray:
     """Single-device scan: see _scan_body."""
-    return _scan_body(*args, n_tiles=n_tiles, rows_bucket=rows_bucket)
+    return _scan_body(*args, n_tiles=n_tiles, rows_bucket=rows_bucket,
+                      dense=dense)
+
+
+def _dense_resample() -> bool:
+    """Dense banded resample on TPU (random gathers are the scan's
+    bottleneck there); gather form elsewhere (CPU gathers are cheap and
+    the dense band's transcendental rectangle is ~8x the flops).
+    AUDIOWMARK_SPEED_DENSE=0/1 overrides — tests compare both forms on
+    CPU.  The flag is a jit static arg, so toggling it retraces."""
+    import os
+    ov = os.environ.get("AUDIOWMARK_SPEED_DENSE")
+    if ov is not None:
+        return ov not in ("0", "false")
+    return jax.default_backend() == "tpu"
 
 
 def scan_device_count() -> int:
@@ -226,7 +290,8 @@ _N_CENTER_ARGS = 10
 
 
 @lru_cache(maxsize=32)
-def _speed_scan_core_sharded(n_dev: int, n_tiles: int, rows_bucket: int):
+def _speed_scan_core_sharded(n_dev: int, n_tiles: int, rows_bucket: int,
+                             dense: bool):
     """dp-sharded scan: centers split across an n_dev-device mesh, clip and
     offset tables replicated.  Per-center math is unchanged (each center
     runs the identical program on one device), so results are bitwise equal
@@ -240,7 +305,8 @@ def _speed_scan_core_sharded(n_dev: int, n_tiles: int, rows_bucket: int):
         from jax.experimental.shard_map import shard_map
 
     mesh = Mesh(np.array(jax.devices()[:n_dev]), axis_names=("centers",))
-    body = partial(_scan_body, n_tiles=n_tiles, rows_bucket=rows_bucket)
+    body = partial(_scan_body, n_tiles=n_tiles, rows_bucket=rows_bucket,
+                   dense=dense)
     in_specs = ((P(),) + (P("centers"),) * _N_CENTER_ARGS
                 + (P(),) * 10)
     fn = shard_map(body, mesh=mesh, in_specs=in_specs,
@@ -348,7 +414,12 @@ def speed_scan(clip_samples: np.ndarray, n_channels: int,
     n_dev = scan_device_count()
     per_dev = max(1, min(8, _DISPATCH_SAMPLE_BUDGET // (n_tiles * T_TILE)))
     group = per_dev * n_dev
-    per_center_rows: List[List[Tuple[float, float]]] = []
+    # every group dispatch is ENQUEUED before any result is fetched: the
+    # device runs the groups back-to-back while the host builds the next
+    # group's anchor tables, and the single batched fetch at the end pays
+    # one synchronized RPC instead of one per group (~30 ms each through
+    # the tunnel)
+    pending: List[Tuple[object, List[float]]] = []
     for g0 in range(0, K_true, group):
         gc = centers[g0: g0 + group]
         gg = geom[g0: g0 + group]
@@ -380,11 +451,12 @@ def speed_scan(clip_samples: np.ndarray, n_channels: int,
             fr[i] = ratio
             half_width[i] = 16.0 / ratio
 
-        core = (_speed_scan_core_sharded(n_dev, n_tiles, rows_bucket)
+        core = (_speed_scan_core_sharded(n_dev, n_tiles, rows_bucket,
+                                         _dense_resample())
                 if n_dev > 1 else
                 partial(_speed_scan_core, n_tiles=n_tiles,
-                        rows_bucket=rows_bucket))
-        q = np.asarray(core(
+                        rows_bucket=rows_bucket, dense=_dense_resample()))
+        pending.append((core(
             xpad_d,
             jnp.asarray(anchor_base), jnp.asarray(anchor_f1),
             jnp.asarray(anchor_f0),
@@ -392,7 +464,12 @@ def speed_scan(clip_samples: np.ndarray, n_channels: int,
             jnp.asarray(in_limit), jnp.asarray(rows_arr),
             jnp.asarray(fr), jnp.asarray(half_width),
             so_hi_d, so_lo_d, fo_hi_d, fo_lo_d,
-            cols_d, swap_d, onehot_d, dftm_d, v_d, jnp.float32(norm)))
+            cols_d, swap_d, onehot_d, dftm_d, v_d, jnp.float32(norm)), gc))
+
+    fetched = fetch_tree([q for q, _ in pending])
+    per_center_rows: List[List[Tuple[float, float]]] = []
+    for q_host, (_, gc) in zip(fetched, pending):
+        q = np.asarray(q_host)
         per_center_rows.extend(
             [(float(q[i, r]), rel * center) for r, rel in enumerate(rels)]
             for i, center in enumerate(gc))

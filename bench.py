@@ -347,6 +347,7 @@ def bench_chunked_get(minutes: int = 32):
     from audiowmark_tpu.cli import test_gen_noise
     from audiowmark_tpu.models.embedder import add_watermark
     from audiowmark_tpu.models.getter import get_watermark
+    from audiowmark_tpu.utils import prof
 
     tmp = "/dev/shm" if os.path.isdir("/dev/shm") else "/tmp"
     infile = os.path.join(tmp, "bench_long_in.wav")
@@ -358,11 +359,17 @@ def bench_chunked_get(minutes: int = 32):
     with contextlib.redirect_stdout(buf):
         assert add_watermark(key, infile, outfile,
                              "f0f0f0f0f0f0f0f0f0f0f0f0f0f0f0f0") == 0
+        prof.enabled = True
+        prof.reset()
         t0 = time.monotonic()
         rc = get_watermark([key], outfile,
                            "f0f0f0f0f0f0f0f0f0f0f0f0f0f0f0f0")
         elapsed = time.monotonic() - t0
+        prof.enabled = False
     assert rc == 0, buf.getvalue()
+    phases = {k: round(v["s"], 2) for k, v in prof.report().items()}
+    print("chunked_get: %.1f s for %d min (%s)"
+          % (elapsed, minutes, phases), file=sys.stderr)
     for f in (infile, outfile):
         try:
             os.remove(f)

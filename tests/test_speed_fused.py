@@ -54,6 +54,27 @@ def test_fused_truncation_matches_staged(sync_bits):
         assert frow[0][0] == pytest.approx(srow[0][0], abs=1e-4)
 
 
+def test_dense_resample_matches_gather(sync_bits, monkeypatch):
+    """The TPU dense banded resample and the gather form must agree (the
+    platform branch in ops/speed_fused._dense_resample); the dense band's
+    extra columns carry exactly-zero coefficients, so only f32 reduction
+    order differs."""
+    from audiowmark_tpu.ops.speed_fused import speed_scan
+
+    rng = np.random.RandomState(7)
+    clip = (rng.randn(2 * 5 * 44100) * 0.25).astype(np.float32)
+    centers = [0.93, 1.0, 1.1]
+    rels = [1.0007 ** p for p in (-1, 0, 1)]
+    monkeypatch.setenv("AUDIOWMARK_SPEED_DENSE", "0")
+    gather = speed_scan(clip, 2, centers, 3.0, rels, sync_bits)
+    monkeypatch.setenv("AUDIOWMARK_SPEED_DENSE", "1")
+    dense = speed_scan(clip, 2, centers, 3.0, rels, sync_bits)
+    for grow, drow in zip(gather, dense):
+        for (qg, sg), (qd, sd) in zip(grow, drow):
+            assert sd == sg
+            assert qd == pytest.approx(qg, abs=1e-4)
+
+
 def test_fused_rejects_out_of_range_ratio(sync_bits):
     clip = np.zeros(2 * 44100, np.float32)
     with pytest.raises(ValueError):
