@@ -51,6 +51,17 @@ T_TILE = 8192             # resample tile (bounds the gather intermediate)
 # fused path accepts fits the window.
 _RS_KBLK = 256
 _RS_WIN = 1024
+# banded offset compare: within a _CB_BLK-state block, entry j's row
+# indices idx(s, j) stay inside a (_CB_BLK + _CB_NSEL)-row contiguous band
+# of its mag-matrix column (state offsets step by ~1/rel ~= 1 per state),
+# so the compare fetches ONE contiguous band per (block, entry) — ~100x
+# fewer gather indices than per-element lookups — and selects in-register
+# from _CB_NSEL statically shifted views.  The in-band residual bound is
+# PROVEN host-side per rel from the exact so_hi table (speed_scan falls
+# back to the flat per-element form when |1/rel - 1| is too large).
+_CB_BLK = 32
+_CB_NSEL = 8
+_CB_BAND = _CB_BLK + _CB_NSEL
 _ROW_BUCKET = 512
 _XPAD_BUCKET = 1 << 16
 _LOG2_DB = 3.01029995663981
@@ -109,11 +120,12 @@ def _scan_body(xpad: jnp.ndarray,
                fr: jnp.ndarray, half_width: jnp.ndarray,
                so_hi: jnp.ndarray, so_lo: jnp.ndarray,
                fo_hi: jnp.ndarray, fo_lo: jnp.ndarray,
+               dmin: jnp.ndarray,
                cols: jnp.ndarray, swap: jnp.ndarray,
                bit_onehot: jnp.ndarray, dftm: jnp.ndarray,
                v: jnp.ndarray, norm: jnp.ndarray,
                n_tiles: int, rows_bucket: int,
-               dense: bool) -> jnp.ndarray:
+               dense: bool, banded: bool) -> jnp.ndarray:
     """(K, R) best-over-offsets qualities.
 
     xpad: (Npad, C) clip with HALF_TAPS-1 leading zeros; anchor_*: (K,
@@ -215,16 +227,49 @@ def _scan_body(xpad: jnp.ndarray,
         # that halved the index count
         Jfull = D.shape[1] // 2
         Dflat = D.reshape(-1, 2)
+        if banded:
+            # (J, rows + 2*BAND, 2) column-major view, zero-padded so a
+            # band whose clamp would displace it is always fully masked
+            # (displacement only happens when every state in the block
+            # indexes outside [0, rows))
+            Dt = D.reshape(D.shape[0], Jfull, 2).transpose(1, 0, 2)
+            zpad = jnp.zeros((Jfull, _CB_BAND, 2), jnp.float32)
+            Dtp = jnp.concatenate([zpad, Dt, zpad], axis=1)
+            rows_pad = rows_bucket + 2 * _CB_BAND
 
         expect = (jnp.arange(6) & 1).astype(jnp.float32)[None, :]
 
         def per_speed(sp_args):
-            s_hi, s_lo, f_hi, f_lo = sp_args
+            s_hi, s_lo, f_hi, f_lo, dm = sp_args
             carry = (s_lo[:, None] + f_lo[None, :]) >> OFFSET_SHIFT
             idx = s_hi[:, None] + f_hi[None, :] + carry     # (states, Jk)
             mask = ((idx >= 0) & (idx < rws)).astype(jnp.float32)
-            idx = jnp.clip(idx, 0, D.shape[0] - 1)
-            g = Dflat[idx * Jfull + cols[None, :]]          # (states, Jk, 2)
+            if banded:
+                S_pad, Jk = idx.shape
+                NB = S_pad // _CB_BLK
+                sh0 = s_hi.reshape(NB, _CB_BLK)[:, 0]
+                start = sh0[:, None] + f_hi[None, :] + dm + _CB_BAND
+                cst = jnp.clip(start, 0, rows_pad - _CB_BAND)  # (NB, Jk)
+
+                def fetch(c, st):
+                    return jax.lax.dynamic_slice(
+                        Dtp, (c, st, jnp.int32(0)), (1, _CB_BAND, 2))[0]
+
+                G = jax.vmap(jax.vmap(fetch, in_axes=(0, 0)),
+                             in_axes=(None, 0))(cols, cst)
+                # (NB, Jk, BAND, 2)
+
+                o = jnp.arange(_CB_BLK, dtype=jnp.int32)
+                d2 = (idx.reshape(NB, _CB_BLK, Jk).transpose(0, 2, 1)
+                      + _CB_BAND - cst[:, :, None] - o[None, None, :])
+                acc = jnp.zeros((NB, Jk, _CB_BLK, 2), jnp.float32)
+                for d in range(_CB_NSEL):
+                    Vd = jax.lax.slice_in_dim(G, d, d + _CB_BLK, axis=2)
+                    acc = acc + jnp.where((d2 == d)[..., None], Vd, 0.0)
+                g = acc.transpose(0, 2, 1, 3).reshape(S_pad, Jk, 2)
+            else:
+                cidx = jnp.clip(idx, 0, D.shape[0] - 1)
+                g = Dflat[cidx * Jfull + cols[None, :]]     # (states, Jk, 2)
             u_raw = g[..., 0]
             d_raw = g[..., 1]
             u = jnp.where(swap[None, :] > 0, d_raw, u_raw) * mask
@@ -246,19 +291,20 @@ def _scan_body(xpad: jnp.ndarray,
                           0.0)
             return jnp.max(q)
 
-        return jax.lax.map(per_speed, (so_hi, so_lo, fo_hi, fo_lo))
+        return jax.lax.map(per_speed, (so_hi, so_lo, fo_hi, fo_lo, dmin))
 
     return jax.lax.map(per_center, (anchor_base, anchor_f1, anchor_f0,
                                     inv_int, inv_f1, inv_f0,
                                     in_limit, rows, fr, half_width))
 
 
-@partial(jax.jit, static_argnames=("n_tiles", "rows_bucket", "dense"))
+@partial(jax.jit, static_argnames=("n_tiles", "rows_bucket", "dense",
+                                   "banded"))
 def _speed_scan_core(*args, n_tiles: int, rows_bucket: int,
-                     dense: bool) -> jnp.ndarray:
+                     dense: bool, banded: bool) -> jnp.ndarray:
     """Single-device scan: see _scan_body."""
     return _scan_body(*args, n_tiles=n_tiles, rows_bucket=rows_bucket,
-                      dense=dense)
+                      dense=dense, banded=banded)
 
 
 def _dense_resample() -> bool:
@@ -269,6 +315,18 @@ def _dense_resample() -> bool:
     CPU.  The flag is a jit static arg, so toggling it retraces."""
     import os
     ov = os.environ.get("AUDIOWMARK_SPEED_DENSE")
+    if ov is not None:
+        return ov not in ("0", "false")
+    return jax.default_backend() == "tpu"
+
+
+def _banded_compare() -> bool:
+    """Banded offset compare on TPU (contiguous band slices + in-register
+    select beat per-element gathers there); flat form elsewhere.
+    AUDIOWMARK_SPEED_BANDED=0/1 overrides — tests compare both on CPU.
+    speed_scan additionally requires the per-rel residual-bound proof."""
+    import os
+    ov = os.environ.get("AUDIOWMARK_SPEED_BANDED")
     if ov is not None:
         return ov not in ("0", "false")
     return jax.default_backend() == "tpu"
@@ -291,7 +349,7 @@ _N_CENTER_ARGS = 10
 
 @lru_cache(maxsize=32)
 def _speed_scan_core_sharded(n_dev: int, n_tiles: int, rows_bucket: int,
-                             dense: bool):
+                             dense: bool, banded: bool):
     """dp-sharded scan: centers split across an n_dev-device mesh, clip and
     offset tables replicated.  Per-center math is unchanged (each center
     runs the identical program on one device), so results are bitwise equal
@@ -306,9 +364,9 @@ def _speed_scan_core_sharded(n_dev: int, n_tiles: int, rows_bucket: int,
 
     mesh = Mesh(np.array(jax.devices()[:n_dev]), axis_names=("centers",))
     body = partial(_scan_body, n_tiles=n_tiles, rows_bucket=rows_bucket,
-                   dense=dense)
+                   dense=dense, banded=banded)
     in_specs = ((P(),) + (P("centers"),) * _N_CENTER_ARGS
-                + (P(),) * 10)
+                + (P(),) * 11)
     fn = shard_map(body, mesh=mesh, in_specs=in_specs,
                    out_specs=P("centers"), check_vma=False)
     return jax.jit(fn)
@@ -399,9 +457,34 @@ def speed_scan(clip_samples: np.ndarray, n_channels: int,
     onehot_k = np.zeros((jk, 6), dtype=np.float32)
     onehot_k[:kept.size] = onehot_full[kept]
 
+    # states pad to a multiple of _CB_BLK with always-masked sentinels
+    # (so_hi = 1<<28 => idx >= rows) so the banded compare's blocks tile
+    # evenly; the flat form tolerates them identically (masked rows score
+    # quality 0, the floor of the max)
+    R = len(rels)
+    S = so_hi.shape[1]
+    S_pad = -(-S // _CB_BLK) * _CB_BLK
+    if S_pad != S:
+        so_hi = np.concatenate(
+            [so_hi, np.full((R, S_pad - S), 1 << 28, so_hi.dtype)], axis=1)
+        so_lo = np.concatenate(
+            [so_lo, np.zeros((R, S_pad - S), so_lo.dtype)], axis=1)
+    # banded-compare precondition, proven from the exact so_hi table over
+    # the REAL states: within every block, residual range + carry must fit
+    # the _CB_NSEL select views.  Rels far from 1.0 (never produced by the
+    # CLI scans) fail and use the flat per-element form instead.
+    blocks = so_hi.reshape(R, -1, _CB_BLK).astype(np.int64)
+    resid = blocks - blocks[:, :, :1] - np.arange(_CB_BLK, dtype=np.int64)
+    real = (np.arange(S_pad) < S).reshape(-1, _CB_BLK)
+    rr = resid[:, real]                                     # (R, n_real)
+    dmin = rr.min(axis=1).astype(np.int32)
+    banded = (_banded_compare()
+              and bool(np.all(rr.max(axis=1) - dmin + 2 <= _CB_NSEL)))
+
     # constants uploaded once, reused by every group dispatch
     xpad_d = jax.device_put(xpad)
     so_hi_d, so_lo_d = jax.device_put(so_hi), jax.device_put(so_lo)
+    dmin_d = jax.device_put(dmin)
     fo_hi_d, fo_lo_d = jax.device_put(fo_hi_k), jax.device_put(fo_lo_k)
     cols_d, swap_d = jax.device_put(cols_k), jax.device_put(swap_k)
     onehot_d = jax.device_put(onehot_k)
@@ -452,10 +535,11 @@ def speed_scan(clip_samples: np.ndarray, n_channels: int,
             half_width[i] = 16.0 / ratio
 
         core = (_speed_scan_core_sharded(n_dev, n_tiles, rows_bucket,
-                                         _dense_resample())
+                                         _dense_resample(), banded)
                 if n_dev > 1 else
                 partial(_speed_scan_core, n_tiles=n_tiles,
-                        rows_bucket=rows_bucket, dense=_dense_resample()))
+                        rows_bucket=rows_bucket, dense=_dense_resample(),
+                        banded=banded))
         pending.append((core(
             xpad_d,
             jnp.asarray(anchor_base), jnp.asarray(anchor_f1),
@@ -463,7 +547,7 @@ def speed_scan(clip_samples: np.ndarray, n_channels: int,
             jnp.asarray(inv_int), jnp.asarray(inv_f1), jnp.asarray(inv_f0),
             jnp.asarray(in_limit), jnp.asarray(rows_arr),
             jnp.asarray(fr), jnp.asarray(half_width),
-            so_hi_d, so_lo_d, fo_hi_d, fo_lo_d,
+            so_hi_d, so_lo_d, fo_hi_d, fo_lo_d, dmin_d,
             cols_d, swap_d, onehot_d, dftm_d, v_d, jnp.float32(norm)), gc))
 
     fetched = fetch_tree([q for q, _ in pending])

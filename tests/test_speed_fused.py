@@ -75,6 +75,41 @@ def test_dense_resample_matches_gather(sync_bits, monkeypatch):
             assert qd == pytest.approx(qg, abs=1e-4)
 
 
+def test_banded_compare_matches_flat(sync_bits, monkeypatch):
+    """The TPU banded offset compare (contiguous band slices + static-view
+    select) must agree with the flat per-element gather — it selects the
+    exact same mag-matrix elements, so only masked-zero signs can differ."""
+    from audiowmark_tpu.ops.speed_fused import speed_scan
+
+    rng = np.random.RandomState(13)
+    clip = (rng.randn(2 * 5 * 44100) * 0.25).astype(np.float32)
+    centers = [0.9, 1.0, 1.0007 ** 17]
+    rels = [1.0007 ** p for p in (-5, -1, 0, 2, 5)]
+    monkeypatch.setenv("AUDIOWMARK_SPEED_BANDED", "0")
+    flat = speed_scan(clip, 2, centers, 3.0, rels, sync_bits)
+    monkeypatch.setenv("AUDIOWMARK_SPEED_BANDED", "1")
+    band = speed_scan(clip, 2, centers, 3.0, rels, sync_bits)
+    for frow, brow in zip(flat, band):
+        for (qf, sf), (qb, sb) in zip(frow, brow):
+            assert sb == sf
+            assert qb == pytest.approx(qf, abs=1e-5)
+
+
+def test_banded_precondition_rejects_far_rels(sync_bits, monkeypatch):
+    """A rel far from 1.0 breaks the residual bound; the proof must route
+    it to the flat form (same results) instead of mis-selecting."""
+    from audiowmark_tpu.ops.speed_fused import speed_scan
+
+    rng = np.random.RandomState(17)
+    clip = (rng.randn(2 * 3 * 44100) * 0.25).astype(np.float32)
+    monkeypatch.setenv("AUDIOWMARK_SPEED_BANDED", "1")
+    wild = speed_scan(clip, 2, [1.0], 2.0, [0.7, 1.0, 1.4], sync_bits)
+    monkeypatch.setenv("AUDIOWMARK_SPEED_BANDED", "0")
+    flat = speed_scan(clip, 2, [1.0], 2.0, [0.7, 1.0, 1.4], sync_bits)
+    for (qw, sw), (qf, sf) in zip(wild[0], flat[0]):
+        assert sw == sf and qw == pytest.approx(qf, abs=1e-5)
+
+
 def test_fused_rejects_out_of_range_ratio(sync_bits):
     clip = np.zeros(2 * 44100, np.float32)
     with pytest.raises(ValueError):
