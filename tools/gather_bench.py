@@ -73,6 +73,43 @@ def compare_flat(Dflat, idx, cols):
     return jax.lax.map(per_rel, idx)
 
 
+BLK = 32
+NSEL = 8
+BAND = BLK + NSEL
+
+
+@jax.jit
+def compare_banded(Dtp, so_hi, fo, cols):
+    """The banded form at the same geometry: contiguous (BAND, 2) slices
+    per (32-state block, entry) + static-view select.  so_hi must be
+    monotone ~unit-step (as the real offset tables are)."""
+    NB = so_hi.shape[0] // BLK
+    rows_pad = ROWS + 2 * BAND
+
+    def per_rel(f_hi):
+        sh0 = so_hi.reshape(NB, BLK)[:, 0]
+        start = sh0[:, None] + f_hi[None, :] + BAND          # dmin = 0
+        cst = jnp.clip(start, 0, rows_pad - BAND)
+
+        def fetch(c, st):
+            return jax.lax.dynamic_slice(
+                Dtp, (c, st, jnp.int32(0)), (1, BAND, 2))[0]
+
+        G = jax.vmap(jax.vmap(fetch, in_axes=(0, 0)),
+                     in_axes=(None, 0))(cols, cst)
+        idx = so_hi[:, None] + f_hi[None, :]
+        o = jnp.arange(BLK, dtype=jnp.int32)
+        d2 = (idx.reshape(NB, BLK, JK).transpose(0, 2, 1)
+              + BAND - cst[:, :, None] - o[None, None, :])
+        acc = jnp.zeros((NB, JK, BLK, 2), jnp.float32)
+        for d in range(NSEL):
+            Vd = jax.lax.slice_in_dim(G, d, d + BLK, axis=2)
+            acc = acc + jnp.where((d2 == d)[..., None], Vd, 0.0)
+        return jnp.sum(acc, axis=(0, 1, 2))
+
+    return jax.lax.map(per_rel, fo)
+
+
 # ---- resample-stage variants -----------------------------------------------
 
 @jax.jit
@@ -144,6 +181,16 @@ def main():
     t, s2 = timed(compare_flat, Dflat, idx, cols)
     out["compare_flat_s"] = round(t, 4)
     assert abs(s1 - s2) < abs(s1) * 1e-5 + 1e-3, (s1, s2)
+
+    spad = -(-STATES // BLK) * BLK
+    so_hi_b = jnp.asarray((np.arange(spad) - spad).astype(np.int32))
+    fo_b = jnp.asarray(rng.integers(
+        0, ROWS + spad, size=(RELS, JK)).astype(np.int32))
+    Dtp = jnp.asarray(np.pad(
+        np.transpose(np.asarray(D3), (1, 0, 2)),
+        ((0, 0), (BAND, BAND), (0, 0))))
+    t, _ = timed(compare_banded, Dtp, so_hi_b, fo_b, cols)
+    out["compare_banded_s"] = round(t, 4)
 
     print("timing resample variants (per center) ...", file=sys.stderr)
     t, _ = timed(resample_gather, xpad, anchors, inv)
