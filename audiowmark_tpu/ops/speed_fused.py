@@ -45,12 +45,16 @@ HALF_TAPS = 48            # covers half_width = 16/ratio for ratio > 1/3
 N_TAPS = 2 * HALF_TAPS
 T_TILE = 8192             # resample tile (bounds the gather intermediate)
 # dense resample band: each _RS_KBLK-output block multiplies a (_RS_KBLK,
-# _RS_WIN) on-the-fly coefficient band against ONE contiguous input window.
-# Window coverage needs (_RS_KBLK-1)/ratio + N_TAPS <= _RS_WIN, i.e.
-# ratio >= 255/927 = 0.275 — strictly below MIN_RATIO, so every center the
-# fused path accepts fits the window.
+# rs_win) on-the-fly coefficient band against ONE contiguous input window.
+# Window coverage needs (_RS_KBLK-1)/ratio + N_TAPS + 2 <= rs_win; the
+# actual rs_win is computed per scan from the smallest ratio present
+# (768 for the CLI scans, whose ratios stay >= ~0.40) and capped at
+# _RS_WIN_MAX = 1024, which covers ratio >= 255/926 = 0.275 — strictly
+# below MIN_RATIO, so every center the fused path accepts fits the cap.
+# Columns past the coverage bound carry exactly-zero coefficients (the
+# Blackman window vanishes outside 96 taps), so trimming them is exact.
 _RS_KBLK = 256
-_RS_WIN = 1024
+_RS_WIN_MAX = 1024
 # banded offset compare: within a _CB_BLK-state block, entry j's row
 # indices idx(s, j) stay inside a (_CB_BLK + _CB_NSEL)-row contiguous band
 # of its mag-matrix column (state offsets step by ~1/rel ~= 1 per state),
@@ -125,7 +129,7 @@ def _scan_body(xpad: jnp.ndarray,
                bit_onehot: jnp.ndarray, dftm: jnp.ndarray,
                v: jnp.ndarray, norm: jnp.ndarray,
                n_tiles: int, rows_bucket: int,
-               dense: bool, banded: bool) -> jnp.ndarray:
+               dense: bool, banded: bool, rs_win: int) -> jnp.ndarray:
     """(K, R) best-over-offsets qualities.
 
     xpad: (Npad, C) clip with HALF_TAPS-1 leading zeros; anchor_*: (K,
@@ -177,18 +181,18 @@ def _scan_body(xpad: jnp.ndarray,
             frac_b = frac.reshape(nblk, _RS_KBLK)
 
             # dense banded form (TPU): each 256-output block reads ONE
-            # contiguous input window and builds its (256, WIN) coefficient
-            # band on the fly — no random gather (11x faster than the
-            # 96-tap gather at scan1 geometry, tools/gather_bench.py).
-            # Taps outside the window's 96-sample support get an
-            # exactly-zero Blackman coefficient, so the extra columns add
-            # exact zeros — the same unified-tap argument that fixed
-            # N_TAPS for every center.
+            # contiguous input window and builds its (256, rs_win)
+            # coefficient band on the fly — no random gather (11x faster
+            # than the 96-tap gather at scan1 geometry,
+            # tools/gather_bench.py).  Taps outside the window's 96-sample
+            # support get an exactly-zero Blackman coefficient, so the
+            # extra columns add exact zeros — the same unified-tap
+            # argument that fixed N_TAPS for every center.
             def per_blk(bb, fb):
-                wstart = jnp.clip(bb[0], 0, xpad.shape[0] - _RS_WIN)
+                wstart = jnp.clip(bb[0], 0, xpad.shape[0] - rs_win)
                 w = jax.lax.dynamic_slice(
-                    xpad, (wstart, jnp.int32(0)), (_RS_WIN, C))
-                p = jnp.arange(_RS_WIN, dtype=jnp.int32)
+                    xpad, (wstart, jnp.int32(0)), (rs_win, C))
+                p = jnp.arange(rs_win, dtype=jnp.int32)
                 # t for input sample wstart+p relative to output k: the
                 # integer part stays in int32 (exact), matching the gather
                 # form's frac - (m - (HALF_TAPS-1)) bit for bit
@@ -299,12 +303,12 @@ def _scan_body(xpad: jnp.ndarray,
 
 
 @partial(jax.jit, static_argnames=("n_tiles", "rows_bucket", "dense",
-                                   "banded"))
+                                   "banded", "rs_win"))
 def _speed_scan_core(*args, n_tiles: int, rows_bucket: int,
-                     dense: bool, banded: bool) -> jnp.ndarray:
+                     dense: bool, banded: bool, rs_win: int) -> jnp.ndarray:
     """Single-device scan: see _scan_body."""
     return _scan_body(*args, n_tiles=n_tiles, rows_bucket=rows_bucket,
-                      dense=dense, banded=banded)
+                      dense=dense, banded=banded, rs_win=rs_win)
 
 
 def _dense_resample() -> bool:
@@ -349,7 +353,7 @@ _N_CENTER_ARGS = 10
 
 @lru_cache(maxsize=32)
 def _speed_scan_core_sharded(n_dev: int, n_tiles: int, rows_bucket: int,
-                             dense: bool, banded: bool):
+                             dense: bool, banded: bool, rs_win: int):
     """dp-sharded scan: centers split across an n_dev-device mesh, clip and
     offset tables replicated.  Per-center math is unchanged (each center
     runs the identical program on one device), so results are bitwise equal
@@ -364,7 +368,7 @@ def _speed_scan_core_sharded(n_dev: int, n_tiles: int, rows_bucket: int,
 
     mesh = Mesh(np.array(jax.devices()[:n_dev]), axis_names=("centers",))
     body = partial(_scan_body, n_tiles=n_tiles, rows_bucket=rows_bucket,
-                   dense=dense, banded=banded)
+                   dense=dense, banded=banded, rs_win=rs_win)
     in_specs = ((P(),) + (P("centers"),) * _N_CENTER_ARGS
                 + (P(),) * 11)
     fn = shard_map(body, mesh=mesh, in_specs=in_specs,
@@ -417,6 +421,13 @@ def speed_scan(clip_samples: np.ndarray, n_channels: int,
     max_rows = max(r for _, _, _, r in geom)
     if max_rows <= 0:
         return [[(0.0, rel * c) for rel in rels] for c in centers]
+    # dense-band window for THIS scan's ratios: columns past the coverage
+    # bound are exactly zero, so the trim is exact (the CLI scans' ratios
+    # stay >= ~0.40 => 768 instead of the 1024 worst-case cap — 25% less
+    # coefficient work in the resample stage)
+    min_ratio = min(r for r, _, _, _ in geom)
+    needed = int(np.ceil((_RS_KBLK - 1) / min_ratio)) + N_TAPS + 2
+    rs_win = min(_RS_WIN_MAX, -(-needed // 128) * 128)
     rows_bucket = -(-max_rows // _ROW_BUCKET) * _ROW_BUCKET
     y_len = rows_bucket * SUB_HOP + SUB_FRAME
     n_tiles = -(-y_len // T_TILE)
@@ -535,11 +546,11 @@ def speed_scan(clip_samples: np.ndarray, n_channels: int,
             half_width[i] = 16.0 / ratio
 
         core = (_speed_scan_core_sharded(n_dev, n_tiles, rows_bucket,
-                                         _dense_resample(), banded)
+                                         _dense_resample(), banded, rs_win)
                 if n_dev > 1 else
                 partial(_speed_scan_core, n_tiles=n_tiles,
                         rows_bucket=rows_bucket, dense=_dense_resample(),
-                        banded=banded))
+                        banded=banded, rs_win=rs_win))
         pending.append((core(
             xpad_d,
             jnp.asarray(anchor_base), jnp.asarray(anchor_f1),

@@ -13,7 +13,7 @@ The scan's cost model (docs/roadmap.md) says the random gathers dominate:
   ~8x the VPU flops, which a v5e trades well against random HBM access).
 
 Run standalone on the TPU (pays one tunnel cold-start):
-    PYTHONPATH=/root/repo python tools/gather_bench.py
+    PYTHONPATH=/root/repo:/root/.axon_site python tools/gather_bench.py
 """
 
 import json

@@ -17,7 +17,7 @@ resample+spec = t_full - compare_total.  scan3 (1 center, 81 rels, 50 s
 clip) bounds the compare-dominated regime from the other side.
 
 Run standalone (fresh process pays the 90-220 s tunnel cold-start once):
-    PYTHONPATH=/root/repo python tools/speed_attrib.py
+    PYTHONPATH=/root/repo:/root/.axon_site python tools/speed_attrib.py
 """
 
 import json
