@@ -427,7 +427,12 @@ def speed_scan(clip_samples: np.ndarray, n_channels: int,
     # coefficient work in the resample stage)
     min_ratio = min(r for r, _, _, _ in geom)
     needed = int(np.ceil((_RS_KBLK - 1) / min_ratio)) + N_TAPS + 2
-    rs_win = min(_RS_WIN_MAX, -(-needed // 128) * 128)
+    # snap to {768, 1024} only: rs_win is a jit static-shape axis, and a
+    # 128-column granularity would retrace (multi-minute TPU compile) for
+    # scans whose min ratio straddles a bucket edge — e.g. refine scans
+    # around different detected speeds in one process.  Extra columns past
+    # the coverage bound are exactly zero, so the coarser snap is exact.
+    rs_win = 768 if needed <= 768 else _RS_WIN_MAX
     rows_bucket = -(-max_rows // _ROW_BUCKET) * _ROW_BUCKET
     y_len = rows_bucket * SUB_HOP + SUB_FRAME
     n_tiles = -(-y_len // T_TILE)
