@@ -69,7 +69,9 @@ def test_block_decoder(noise_wav, tmp_path, capsys):
 
     assert run(["test-snr", noise_wav, wm]) == 0
     snr = float(capsys.readouterr().out.strip())
-    assert snr >= 32.3, snr
+    # the reference's exact floor (tests/block-decoder-test.sh:18);
+    # measured 32.428 dB on this path
+    assert snr >= 32.4, snr
 
     # 200 s: blocks A, B, A -> patterns A, B, A, AB, all = 5 matches
     rc = run(["--strict", "cmp", "--expect-matches", "5", wm, MSG])
