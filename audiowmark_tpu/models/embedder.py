@@ -269,11 +269,23 @@ def _add_file_fast(embedder: StreamingEmbedder,
             out_i16, block_size)
         if prof.enabled:
             float(out_dev[0])
-    with prof.phase("add.device.fetch"):
-        out = np.asarray(out_dev)
     # out_i16: the device already applied the writer's trunc-clip
     # quantization; the int16 buffer goes to the writer as-is (bit-identical
     # to the f32 round trip, without 3 full-array conversions)
+
+    # fetch/write overlap: slice the output on device, start EVERY slice's
+    # host copy (copy_to_host_async), then write slice i while slice i+1
+    # is still in flight — the host file write rides under the transfer
+    # instead of after it (the tunnel link is half-duplex, so only
+    # host-side work can hide; tools/duplex_probe.py)
+    vals_per_frame = FRAME * n_channels
+    n_pieces = min(4, max(n_out // (4 * 1024 * 1024 // 4), 1))
+    bounds = [(n_out * p // n_pieces) // vals_per_frame * vals_per_frame
+              for p in range(n_pieces)] + [n_out]
+    pieces = [jax.lax.slice_in_dim(out_dev, a, b)
+              for a, b in zip(bounds, bounds[1:]) if b > a]
+    for p in pieces:
+        p.copy_to_host_async()
 
     # reference data-block count: boundaries within the frames the 1-frame
     # reference loop would feed, NOT within our padded dispatch
@@ -284,8 +296,11 @@ def _add_file_fast(embedder: StreamingEmbedder,
         (embedder.frame_number + t + 1) % embedder.frames_per_block == 0))
     embedder.frame_number += G
 
-    with prof.phase("add.write"):
-        out_stream.write_frames(out)
+    for p in pieces:
+        with prof.phase("add.device.fetch"):
+            arr = np.asarray(p)
+        with prof.phase("add.write"):
+            out_stream.write_frames(arr)
     return n_frames_in
 
 

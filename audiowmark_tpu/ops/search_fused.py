@@ -128,7 +128,8 @@ def _memo_key(tag, clip_mode, T, C, K, dft_bf16, extra=()):
 
 
 def build_searcher(tables: KeyTables, clip_mode: bool, T: int, C: int,
-                   K: int, dft_bf16: Optional[bool] = None):
+                   K: int, dft_bf16: Optional[bool] = None,
+                   extract: bool = True):
     """Jitted f(x (T*FRAME*C,) f32 interleaved FLAT, n_starts i32,
     n_sample_frames i32, sil_first i32, sil_last i32, core_lo i32,
     core_hi i32) -> dict of (K,) tensors: t (approx tau), q, mean,
@@ -147,13 +148,21 @@ def build_searcher(tables: KeyTables, clip_mode: bool, T: int, C: int,
     30-minute chunk would OOM the chip); inside the kernel the reshape
     fuses into the window slicing.
 
+    extract=False omits the raws stage entirely — the tiled long-stream
+    path discards raws (selection happens across tiles on host), and the
+    per-candidate block extraction is comparable in FLOPs to the whole
+    sweep, so computing it for every tile slot nearly doubled the 30-min
+    chunk search cost (round-4 record: get.search_block 76 s of a 103 s
+    32-min decode).
+
     Memoized per (key tables, mode, shape) so repeated chunks share the
     compiled executable and the uploaded per-key constants."""
     def build():
-        fn = _build_searcher(tables, clip_mode, T, C, K, dft_bf16)
+        fn = _build_searcher(tables, clip_mode, T, C, K, dft_bf16, extract)
         return None if fn is None else jax.jit(fn)
     return memo_derived(
-        tables, _memo_key("fused_search", clip_mode, T, C, K, dft_bf16),
+        tables, _memo_key("fused_search", clip_mode, T, C, K, dft_bf16,
+                          (extract,)),
         build)
 
 
@@ -196,7 +205,7 @@ def build_searcher_group(tables: KeyTables, clip_mode: bool, T: int, C: int,
 
 
 def _build_searcher(tables: KeyTables, clip_mode: bool, T: int, C: int,
-                    K: int, dft_bf16: Optional[bool]):
+                    K: int, dft_bf16: Optional[bool], extract: bool = True):
     sync_bits: SyncBits = build_sync_bits(tables, clip_mode)
     n_pos = sync_bits.n_pos
     total = sync_bits.total_frames
@@ -419,6 +428,17 @@ def _build_searcher(tables: KeyTables, clip_mode: bool, T: int, C: int,
         rpos, rq = jax.lax.map(refine_one, (tops, q_top, mean_top),
                                batch_size=4)
 
+        out = {
+            "t": tops,
+            "q": q_top,
+            "mean": mean_top,
+            "refined_pos": rpos,
+            "refined_q": rq,
+            "eligible": eligible,
+        }
+        if not extract:
+            return out
+
         # ---- chained raw soft-bit extraction at the refined starts ----
         # The CLI decode would otherwise pay a separate dispatch + fetch
         # round trip per chunk (and two per clip window pair) for the same
@@ -447,16 +467,7 @@ def _build_searcher(tables: KeyTables, clip_mode: bool, T: int, C: int,
                 return jnp.stack([r1, r2])
             return r1
 
-        raws = jax.lax.map(raw_one, rpos[:n_extract], batch_size=2)
-
-        return {
-            "t": tops,
-            "q": q_top,
-            "mean": mean_top,
-            "refined_pos": rpos,
-            "refined_q": rq,
-            "eligible": eligible,
-            "raws": raws,
-        }
+        out["raws"] = jax.lax.map(raw_one, rpos[:n_extract], batch_size=2)
+        return out
 
     return search

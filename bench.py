@@ -257,9 +257,10 @@ def bench_production():
     run_once()                   # second warm pass: first one still compiles
     # median-of-iterations: the remote-TPU tunnel has multi-second latency
     # spikes; the median is the honest steady-state while a mean is hostage
-    # to one stall
-    prof.enabled = True
-    prof.reset()
+    # to one stall.  The 3 headline iterations run UNPROFILED — profiling
+    # forces a device sync per phase (a full tunnel round trip each), which
+    # taxed the headline ~10% in round 4; one extra profiled iteration then
+    # supplies the phase breakdown
     times = []
     for _ in range(3):
         t0 = time.monotonic()
@@ -267,9 +268,12 @@ def bench_production():
         times.append((time.monotonic() - t0, add_s, get_s))
         print("prod_iter_s=%.2f (add %.2f get %.2f)" % times[-1],
               file=sys.stderr)
+    prof.enabled = True
+    prof.reset()
+    run_once()
     prof.enabled = False
-    phases = {k: round(v["s"] / len(times), 3)
-              for k, v in prof.report().items()}    # mean seconds/iteration
+    phases = {k: round(v["s"], 3)
+              for k, v in prof.report().items()}    # seconds, profiled iter
     for f in (infile, outfile):
         try:
             os.remove(f)

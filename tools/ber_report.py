@@ -39,53 +39,86 @@ import numpy as np
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
-# (fixture, transform, strength, kind, description)
+# (fixture, seconds, transform, strength, kind, description)
+#   seconds: 0 = use --seconds (default 60 s ≈ one block: stresses the
+#            single-block A/B paths); 200 puts THREE blocks in the carrier
+#            so the AB join and the "all" chain recovery (src/wmget.cc:
+#            554-701) are inside the BER loop, like the reference harness's
+#            real music files (src/ber-test.sh:24-60)
 #   kind: "floor"   — BASELINE.md guarantee, must be BER/FER 0
 #         "info"    — measured robustness, no hard guarantee (trunc/clip
 #                     probability-of-detection rows, sub-floor bitrates)
 #         "control" — deliberately below floor; at least one control must
 #                     produce BER > 0 or the harness fails
 ROWS = [
-    ("noise", "none", "10", "floor", "lossless round trip"),
-    ("noise", "mp3:128", "10", "floor",
+    ("noise", 0, "none", "10", "floor", "lossless round trip"),
+    ("noise", 0, "mp3:128", "10", "floor",
      "libmp3lame 128 kbit/s (README floor)"),
-    ("noise", "mp3:64", "10", "info", "libmp3lame 64 kbit/s (below floor)"),
-    ("noise", "ogg:128", "10", "floor",
+    ("noise", 0, "mp3:64", "10", "info",
+     "libmp3lame 64 kbit/s (below floor)"),
+    ("noise", 0, "ogg:128", "10", "floor",
      "libvorbisenc 128 kbit/s managed (README floor)"),
-    ("noise", "opus:128", "10", "floor",
+    ("noise", 0, "opus:128", "10", "floor",
      "libopus 128 kbit/s (48 kHz internal)"),
-    ("noise", "aac:128", "10", "floor", "native aac 128 kbit/s"),
-    ("noise", "resample:48000", "10", "floor",
+    ("noise", 0, "aac:128", "10", "floor", "native aac 128 kbit/s"),
+    ("noise", 0, "resample:48000", "10", "floor",
      "48 kHz resample round trip"),
-    ("noise", "double-mp3:64:64", "10", "info",
+    ("noise", 0, "double-mp3:64:64", "10", "info",
      "double mp3 transcode 64->64 (ber-double-mp3.sh)"),
-    ("noise", "speed-mp3:0.9764:128", "10", "info",
+    ("noise", 0, "speed-mp3:0.9764:128", "10", "info",
      "speed 0.9764 then mp3 128, decoded --detect-speed (gen-speed-mk.sh)"),
-    ("noise", "trunc:15", "10", "info",
+    ("noise", 0, "trunc:15", "10", "info",
      "truncated to 15 s (gen-trunc-mk.sh)"),
-    ("noise", "clip:10", "10", "info",
+    ("noise", 0, "clip:10", "10", "info",
      "random 10 s clip (gen-short-clip-mk.sh)"),
-    ("music", "none", "10", "floor", "tonal carrier, lossless round trip"),
-    ("music", "mp3:128", "10", "floor", "tonal carrier, mp3 128 (floor)"),
-    ("music", "mp3:32", "10", "control",
+    ("music", 0, "none", "10", "floor", "tonal carrier, lossless round trip"),
+    ("music", 0, "mp3:128", "10", "floor", "tonal carrier, mp3 128 (floor)"),
+    ("music", 0, "ogg:128", "10", "floor", "tonal carrier, ogg 128 (floor)"),
+    ("music", 0, "double-mp3:64:64", "10", "info",
+     "tonal carrier, double mp3 transcode 64->64"),
+    ("music", 0, "speed-mp3:0.9764:128", "10", "info",
+     "tonal carrier, speed 0.9764 then mp3 128, --detect-speed"),
+    ("music", 0, "mp3:32", "10", "control",
      "tonal carrier, mp3 32 kbit/s — far below floor control"),
-    ("music", "mp3:64", "2", "control",
+    ("music", 0, "mp3:64", "2", "control",
      "tonal carrier, strength 2 + mp3 64 — weak-mark control"),
-    ("speech", "none", "10", "floor", "speech-like AM, lossless"),
-    ("speech", "mp3:128", "10", "floor", "speech-like AM, mp3 128 (floor)"),
-    ("speech", "ogg:128", "10", "floor", "speech-like AM, ogg 128 (floor)"),
-    ("chords", "none", "10", "floor", "sustained polyphony, lossless"),
-    ("chords", "mp3:128", "10", "floor",
+    ("speech", 0, "none", "10", "floor", "speech-like AM, lossless"),
+    ("speech", 0, "mp3:128", "10", "floor",
+     "speech-like AM, mp3 128 (floor)"),
+    ("speech", 0, "ogg:128", "10", "floor", "speech-like AM, ogg 128 (floor)"),
+    ("speech", 0, "double-mp3:64:64", "10", "info",
+     "speech-like AM, double mp3 transcode 64->64"),
+    ("chords", 0, "none", "10", "floor", "sustained polyphony, lossless"),
+    ("chords", 0, "mp3:128", "10", "floor",
      "sustained polyphony, mp3 128 (floor)"),
-    ("piano", "none", "10", "floor",
+    ("piano", 0, "none", "10", "floor",
      "sparse piano w/ silence gaps, lossless"),
-    ("piano", "mp3:128", "10", "floor",
+    ("piano", 0, "mp3:128", "10", "floor",
      "sparse piano w/ silence gaps, mp3 128 (floor)"),
-    ("piano", "mp3:32", "10", "control",
+    ("piano", 0, "ogg:128", "10", "floor",
+     "sparse piano w/ silence gaps, ogg 128 (floor)"),
+    ("piano", 0, "mp3:32", "10", "control",
      "sparse piano, mp3 32 kbit/s — below-floor control"),
-    ("chirp", "none", "10", "floor", "repeating log sweep, lossless"),
-    ("chirp", "mp3:128", "10", "floor",
+    ("chirp", 0, "none", "10", "floor", "repeating log sweep, lossless"),
+    ("chirp", 0, "mp3:128", "10", "floor",
      "repeating log sweep, mp3 128 (floor)"),
+    # ---- long multi-block carriers: 200 s = 3 blocks + AB + "all" chain
+    # in the BER loop, mirroring the reference's full-length music corpus
+    # (src/ber-test.sh:24-60, ber-mp3.sh, ber-ogg.sh) ----
+    ("noise", 200, "none", "10", "floor",
+     "3-block carrier, lossless round trip"),
+    ("noise", 200, "mp3:128", "10", "floor",
+     "3-block carrier, mp3 128 (floor)"),
+    ("noise", 200, "ogg:128", "10", "floor",
+     "3-block carrier, ogg 128 (floor)"),
+    ("music", 200, "mp3:128", "10", "floor",
+     "3-block tonal carrier, mp3 128 (floor)"),
+    ("speech", 200, "mp3:128", "10", "floor",
+     "3-block speech-like carrier, mp3 128 (floor)"),
+    ("piano", 200, "mp3:128", "10", "floor",
+     "3-block sparse-piano carrier, mp3 128 (floor)"),
+    ("music", 200, "mp3:32", "10", "control",
+     "3-block tonal carrier, mp3 32 — below-floor control"),
 ]
 
 
@@ -295,30 +328,31 @@ def main():
 
     env = dict(os.environ, AUDIOWMARK_JAX_PLATFORM="cpu")
     with tempfile.TemporaryDirectory() as tmpdir:
-        fixtures = {}
-        needed = {r[0] for r in todo}
-        if "noise" in needed:
-            noise = os.path.join(tmpdir, "noise.wav")
-            subprocess.run(
-                [sys.executable, os.path.join(REPO, "audiowmark"),
-                 "test-gen-noise", noise, str(args.seconds), "44100"],
-                env=env, check=True, cwd=REPO)
-            fixtures["noise"] = noise
-        for name, gen in _GENERATORS.items():
-            if name in needed:
-                p = os.path.join(tmpdir, "%s.wav" % name)
-                gen(p, args.seconds)
-                fixtures[name] = p
+        fixtures = {}       # (name, seconds) -> path
+        needed = {(r[0], r[1] or args.seconds) for r in todo}
+        for name, secs in sorted(needed):
+            p = os.path.join(tmpdir, "%s_%d.wav" % (name, secs))
+            if name == "noise":
+                subprocess.run(
+                    [sys.executable, os.path.join(REPO, "audiowmark"),
+                     "test-gen-noise", p, str(secs), "44100"],
+                    env=env, check=True, cwd=REPO)
+            else:
+                _GENERATORS[name](p, secs)
+            fixtures[(name, secs)] = p
 
         rows = []
-        for fixture, transform, strength, kind, desc in todo:
-            ber, fer = run_ber(fixtures[fixture], transform, strength,
-                               args.seeds)
-            rows.append((fixture, transform, strength, kind, desc,
+        for fixture, secs, transform, strength, kind, desc in todo:
+            secs = secs or args.seconds
+            ber, fer = run_ber(fixtures[(fixture, secs)], transform,
+                               strength, args.seeds)
+            label = fixture if secs == args.seconds else \
+                "%s@%ds" % (fixture, secs)
+            rows.append((label, transform, strength, kind, desc,
                          ber, fer))
-            print("%-7s %-22s s=%-3s %-7s ber=%.6f (%s/%s)  "
+            print("%-11s %-22s s=%-3s %-7s ber=%.6f (%s/%s)  "
                   "fer=%.6f (%s/%s)"
-                  % (fixture, transform, strength, kind, ber[0], ber[1],
+                  % (label, transform, strength, kind, ber[0], ber[1],
                      ber[2], fer[0], fer[1], fer[2]), flush=True)
 
     # the controls must show the harness CAN see errors
@@ -343,11 +377,14 @@ def main():
         "(libmp3lame, libvorbisenc, libopus/aac via the libav shim).",
         "",
         "Carriers: deterministic `test-gen-noise` (easy: full-band energy) "
-        "and a deterministic tonal fixture (hard: sparse harmonic spectrum "
-        "+ percussion).  %d s, 44.1 kHz stereo, %d random 128-bit payloads "
-        "per row.  Rows marked CONTROL are deliberately below the "
-        "robustness floor; they must produce BER > 0 for the zero rows to "
-        "mean anything." % (args.seconds, args.seeds),
+        "and deterministic hard fixtures (sparse/tonal/speech-like/gapped "
+        "spectra).  %d s, 44.1 kHz stereo, %d random 128-bit payloads "
+        "per row; rows tagged `@200s` use 200 s three-block carriers so "
+        "the AB join and the 'all' chain recovery are inside the BER loop "
+        "(the single-block rows only stress A/B).  Rows marked CONTROL are "
+        "deliberately below the robustness floor; they must produce BER > "
+        "0 for the zero rows to mean anything."
+        % (args.seconds, args.seeds),
         "",
         "BASELINE.md floor: watermark retrievable (FER 0) after MP3/Ogg "
         "encoding at >= 128 kbit/s at default strength.",

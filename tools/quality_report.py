@@ -167,6 +167,72 @@ def nmr_db(orig: np.ndarray, marked: np.ndarray, n_channels: int) -> float:
     return 10.0 * np.log10(np.mean(ratios)) if ratios else float("-inf")
 
 
+# ------------------------------------------------------- codec anchors
+
+# MP3 bitrate ladder used to CALIBRATE the NMR proxy on stimuli with
+# known perceptual ordering and published quality operating points:
+# listening tests and PEAQ evaluations consistently place stereo MP3 at
+# >= 256 kbit/s in the transparent range (ODG ~ 0 .. -0.5), 128 kbit/s
+# around "perceptible, not annoying" (ODG ~ -1 .. -2 on critical items),
+# and 64 kbit/s clearly degraded (ODG <= -3).  The proxy must rank the
+# ladder monotonically (ordinal validity), and the watermark at default
+# strength must score no worse than the 256 kbit/s transparent anchor.
+ANCHOR_BITRATES = [320, 256, 128, 64]
+# approximate published ODG operating points for the anchor ladder
+# (coarse literature ranges, used only for an ordinal NMR -> ODG-region
+# interpolation, not as exact per-item predictions)
+ANCHOR_ODG = {320: -0.2, 256: -0.5, 128: -1.5, 64: -3.2}
+
+
+def _align_delay(ref: np.ndarray, test: np.ndarray, n_channels: int,
+                 max_lag: int = 4096) -> int:
+    """Codec round trips shift the timeline (encoder/decoder delay).
+    Find the lag of `test` relative to `ref` by cross-correlating one
+    channel over a bounded window; NMR on unaligned deltas would measure
+    the shift, not the coding noise."""
+    a = ref.reshape(-1, n_channels)[: RATE * 5, 0].astype(np.float64)
+    b = test.reshape(-1, n_channels)[: RATE * 5 + max_lag, 0] \
+        .astype(np.float64)
+    n = 1
+    while n < b.size:
+        n *= 2
+    corr = np.fft.irfft(np.fft.rfft(b, n) * np.conj(np.fft.rfft(a, n)), n)
+    return int(np.argmax(corr[: max_lag + 1]))
+
+
+def mp3_anchor_nmr(orig, bitrate: int) -> float:
+    """NMR of an mp3 round trip at `bitrate` against the original — the
+    codec's coding noise scored by the same model as the watermark delta."""
+    from audiowmark_tpu.io.lame import encode_mp3
+    from audiowmark_tpu.io.wavdata import WavData
+    data = encode_mp3(orig.samples, orig.n_channels, orig.sample_rate,
+                      bitrate)
+    with tempfile.NamedTemporaryFile(suffix=".mp3", delete=False) as f:
+        f.write(data)
+        name = f.name
+    try:
+        dec = WavData.load(name)
+    finally:
+        os.remove(name)
+    lag = _align_delay(orig.samples, dec.samples, orig.n_channels)
+    aligned = dec.samples.reshape(-1, orig.n_channels)[lag:].reshape(-1)
+    return nmr_db(orig.samples, aligned, orig.n_channels)
+
+
+def odg_region(nmr: float, anchors: dict) -> str:
+    """Ordinal ODG-region interpolation: place `nmr` on the anchor ladder
+    (NMR -> published ODG operating point, linear between neighbors)."""
+    pts = sorted(((v, ANCHOR_ODG[b]) for b, v in anchors.items()))
+    if nmr <= pts[0][0]:
+        return "<= %.1f (at/under the %s anchor)" % (
+            pts[0][1], "transparent")
+    for (x0, y0), (x1, y1) in zip(pts, pts[1:]):
+        if nmr <= x1:
+            t = (nmr - x0) / (x1 - x0) if x1 > x0 else 0.0
+            return "~ %.1f" % (y0 + t * (y1 - y0))
+    return ">= %.1f (beyond the lowest anchor)" % pts[-1][1]
+
+
 # ---------------------------------------------------------------- main
 
 def main():
@@ -179,6 +245,8 @@ def main():
     from audiowmark_tpu.io.wavdata import WavData
 
     rows = {}
+    anchors_by_carrier = {}
+    wm_regions = {}
     failures = []
     with tempfile.TemporaryDirectory() as td:
         for carrier, gen in (("noise", gen_noise), ("music", gen_music)):
@@ -209,6 +277,31 @@ def main():
                 failures.append("%s: NMR at strength 10 = %.2f > 0 dB"
                                 % (carrier, nmr10))
 
+            # ---- calibration: mp3 bitrate ladder through the SAME model
+            # (round-4 review missing #2: the proxy had never been checked
+            # against any known quality operating point) ----
+            anchors = {}
+            for br in ANCHOR_BITRATES:
+                anchors[br] = mp3_anchor_nmr(orig, br)
+                print("%-6s mp3@%-3d anchor nmr=%7.3f dB"
+                      % (carrier, br, anchors[br]), flush=True)
+            anchors_by_carrier[carrier] = anchors
+            ladder = [anchors[b] for b in sorted(ANCHOR_BITRATES,
+                                                 reverse=True)]
+            if not all(x < y + 0.1 for x, y in zip(ladder, ladder[1:])):
+                failures.append(
+                    "%s: anchor ladder not monotone (%s) — the NMR proxy "
+                    "fails ordinal validation on known-ordered stimuli"
+                    % (carrier, ["%.2f" % v for v in ladder]))
+            if nmr10 > anchors[256] + 0.1:
+                failures.append(
+                    "%s: watermark strength 10 NMR %.2f exceeds the "
+                    "transparent mp3@256 anchor %.2f"
+                    % (carrier, nmr10, anchors[256]))
+            wm_regions[carrier] = odg_region(nmr10, anchors)
+            print("%-6s strength-10 ODG-region estimate: %s"
+                  % (carrier, wm_regions[carrier]), flush=True)
+
     lines = [
         "# Watermark quality report",
         "",
@@ -232,8 +325,37 @@ def main():
                         rows["music"][i][1], rows["music"][i][2]))
     lines += [
         "",
+        "## NMR calibration against the MP3 bitrate ladder",
+        "",
+        "The proxy is validated ordinally on stimuli with known published "
+        "quality ordering: stereo MP3 at >= 256 kbit/s sits in the "
+        "transparent range (ODG ~ 0 .. -0.5), 128 kbit/s around "
+        "'perceptible, not annoying' (ODG ~ -1 .. -2 on critical items), "
+        "64 kbit/s clearly degraded (ODG <= -3).  Each anchor's coding "
+        "noise is scored by the SAME Bark-NMR model as the watermark "
+        "delta (time-aligned for codec delay); the ladder must be "
+        "monotone, and the strength-10 watermark must score no worse than "
+        "the transparent mp3@256 anchor.",
+        "",
+        "| carrier | " + " | ".join("mp3@%d NMR dB" % b
+                                    for b in ANCHOR_BITRATES)
+        + " | wm s10 NMR dB | wm s10 ODG-region |",
+        "|---|" + "---|" * (len(ANCHOR_BITRATES) + 2),
+    ]
+    for carrier in rows:
+        nmr10 = dict((s, v) for s, _, v in rows[carrier])[10]
+        lines.append(
+            "| %s | %s | %.3f | %s |"
+            % (carrier,
+               " | ".join("%.3f" % anchors_by_carrier[carrier][b]
+                          for b in ANCHOR_BITRATES),
+               nmr10, wm_regions[carrier]))
+    lines += [
+        "",
         "Checks: SNR monotone decreasing in strength; strength 10 keeps"
-        " SNR >= 20 dB and NMR <= 0 dB on both carriers.",
+        " SNR >= 20 dB and NMR <= 0 dB on both carriers; the mp3 anchor"
+        " ladder is NMR-monotone on both carriers (ordinal proxy"
+        " validation); strength-10 NMR <= the transparent mp3@256 anchor.",
         "Result: **%s**" % ("PASS" if not failures else
                             "FAIL: " + "; ".join(failures)),
         "",
