@@ -124,12 +124,14 @@ def _scan_body(xpad: jnp.ndarray,
                fr: jnp.ndarray, half_width: jnp.ndarray,
                so_hi: jnp.ndarray, so_lo: jnp.ndarray,
                fo_hi: jnp.ndarray, fo_lo: jnp.ndarray,
-               dmin: jnp.ndarray,
+               dmin: jnp.ndarray, p0: jnp.ndarray, st: jnp.ndarray,
                cols: jnp.ndarray, swap: jnp.ndarray,
                bit_onehot: jnp.ndarray, dftm: jnp.ndarray,
                v: jnp.ndarray, norm: jnp.ndarray,
                n_tiles: int, rows_bucket: int,
-               dense: bool, banded: bool, rs_win: int) -> jnp.ndarray:
+               dense: bool, banded: bool, rs_win: int,
+               shift: bool = False, pmax: int = 0, padl: int = 0,
+               width: int = 0) -> jnp.ndarray:
     """(K, R) best-over-offsets qualities.
 
     xpad: (Npad, C) clip with HALF_TAPS-1 leading zeros; anchor_*: (K,
@@ -231,24 +233,61 @@ def _scan_body(xpad: jnp.ndarray,
         # that halved the index count
         Jfull = D.shape[1] // 2
         Dflat = D.reshape(-1, 2)
+        if shift:
+            # zero-padded transposed mag planes: (2*Jk, width), rows
+            # minor — v was gathered host-side per kept entry, so D is
+            # already (rows, 2*Jk) with up/down column halves.  Transpose
+            # the SMALL (rows_bucket, 2Jk) matrix first and pad into the
+            # wide buffer after: transposing the (width, 2Jk) padded form
+            # crashed the TPU worker at specific width buckets (width
+            # 25600 ran ~60 s then died; 24576 ran in ~1 s — an XLA/
+            # Mosaic specialization cliff, bisected round 5)
+            DT2 = jnp.zeros((D.shape[1], width), jnp.float32)
+            DT2 = jax.lax.dynamic_update_slice(
+                DT2, D.T, (jnp.int32(0), jnp.int32(padl)))
         if banded:
-            # (J, rows + 2*BAND, 2) column-major view, zero-padded so a
-            # band whose clamp would displace it is always fully masked
-            # (displacement only happens when every state in the block
-            # indexes outside [0, rows))
-            Dt = D.reshape(D.shape[0], Jfull, 2).transpose(1, 0, 2)
-            zpad = jnp.zeros((Jfull, _CB_BAND, 2), jnp.float32)
-            Dtp = jnp.concatenate([zpad, Dt, zpad], axis=1)
+            # (2, J, rows + 2*BAND) plane-major view (up/down planes
+            # LEADING, rows minor), zero-padded so a band whose clamp
+            # would displace it is always fully masked (displacement only
+            # happens when every state in the block indexes outside
+            # [0, rows)).  Layout note: any tensor whose TPU minor dim is
+            # the (up, down) pair pads 2 -> 128 lanes (64x memory — the
+            # round-5 vmap-over-rels batch hit a 35 GB allocation on a
+            # 0.5 GB logical gather); keeping rows minor here and the
+            # 128-multiple entry axis minor in the fetched bands below
+            # eliminates the padding entirely.
+            Dt = D.reshape(D.shape[0], Jfull, 2).transpose(2, 1, 0)
+            zpad = jnp.zeros((2, Jfull, _CB_BAND), jnp.float32)
+            Dtp = jnp.concatenate([zpad, Dt, zpad], axis=2)
             rows_pad = rows_bucket + 2 * _CB_BAND
 
         expect = (jnp.arange(6) & 1).astype(jnp.float32)[None, :]
 
         def per_speed(sp_args):
-            s_hi, s_lo, f_hi, f_lo, dm = sp_args
+            s_hi, s_lo, f_hi, f_lo, dm, p0_r, st_r = sp_args
             carry = (s_lo[:, None] + f_lo[None, :]) >> OFFSET_SHIFT
             idx = s_hi[:, None] + f_hi[None, :] + carry     # (states, Jk)
             mask = ((idx >= 0) & (idx < rws)).astype(jnp.float32)
-            if banded:
+            if shift:
+                Jk = f_hi.shape[0]
+                jj = jnp.arange(2 * Jk, dtype=jnp.int32)
+                st2 = jnp.concatenate([st_r, st_r])
+
+                def slice_row(j, s):
+                    return jax.lax.dynamic_slice(
+                        DT2, (j, s), (1, pmax))[0]
+
+                # realigned planes: DshT[j, p] = D[st_r[j] + p - padl, j];
+                # every slice is a contiguous row segment (the GOOD gather
+                # shape: one shared index per 128-lane row)
+                DshT = jax.vmap(slice_row)(jj, st2)       # (2Jk, pmax)
+                Dsh = DshT.T                              # (pmax, 2Jk)
+                A0 = jnp.take(Dsh, p0_r, axis=0)          # (S_pad, 2Jk)
+                A1 = jnp.take(Dsh, p0_r + 1, axis=0)
+                cb = carry == 1
+                u_raw = jnp.where(cb, A1[:, :Jk], A0[:, :Jk])
+                d_raw = jnp.where(cb, A1[:, Jk:], A0[:, Jk:])
+            elif banded:
                 S_pad, Jk = idx.shape
                 NB = S_pad // _CB_BLK
                 sh0 = s_hi.reshape(NB, _CB_BLK)[:, 0]
@@ -257,25 +296,31 @@ def _scan_body(xpad: jnp.ndarray,
 
                 def fetch(c, st):
                     return jax.lax.dynamic_slice(
-                        Dtp, (c, st, jnp.int32(0)), (1, _CB_BAND, 2))[0]
+                        Dtp, (jnp.int32(0), c, st),
+                        (2, 1, _CB_BAND))[:, 0, :]           # (2, BAND)
 
-                G = jax.vmap(jax.vmap(fetch, in_axes=(0, 0)),
+                # out_axes place the 128-multiple entry axis MINOR:
+                # G (NB, 2, BAND, Jk) — zero lane-padding waste, so the
+                # gather result stays ~0.5 GB for an 8-rel batch instead
+                # of 64x that (see the Dtp layout note above)
+                G = jax.vmap(jax.vmap(fetch, in_axes=(0, 0), out_axes=-1),
                              in_axes=(None, 0))(cols, cst)
-                # (NB, Jk, BAND, 2)
 
                 o = jnp.arange(_CB_BLK, dtype=jnp.int32)
-                d2 = (idx.reshape(NB, _CB_BLK, Jk).transpose(0, 2, 1)
-                      + _CB_BAND - cst[:, :, None] - o[None, None, :])
-                acc = jnp.zeros((NB, Jk, _CB_BLK, 2), jnp.float32)
+                d2 = (idx.reshape(NB, _CB_BLK, Jk)
+                      + _CB_BAND - cst[:, None, :] - o[None, :, None])
+                d2 = d2[:, None, :, :]                    # (NB, 1, BLK, Jk)
+                acc = jnp.zeros((NB, 2, _CB_BLK, Jk), jnp.float32)
                 for d in range(_CB_NSEL):
                     Vd = jax.lax.slice_in_dim(G, d, d + _CB_BLK, axis=2)
-                    acc = acc + jnp.where((d2 == d)[..., None], Vd, 0.0)
-                g = acc.transpose(0, 2, 1, 3).reshape(S_pad, Jk, 2)
+                    acc = acc + jnp.where(d2 == d, Vd, 0.0)
+                u_raw = acc[:, 0].reshape(S_pad, Jk)
+                d_raw = acc[:, 1].reshape(S_pad, Jk)
             else:
                 cidx = jnp.clip(idx, 0, D.shape[0] - 1)
                 g = Dflat[cidx * Jfull + cols[None, :]]     # (states, Jk, 2)
-            u_raw = g[..., 0]
-            d_raw = g[..., 1]
+                u_raw = g[..., 0]
+                d_raw = g[..., 1]
             u = jnp.where(swap[None, :] > 0, d_raw, u_raw) * mask
             d = jnp.where(swap[None, :] > 0, u_raw, d_raw) * mask
             u_bit = jnp.dot(u, bit_onehot,
@@ -295,7 +340,17 @@ def _scan_body(xpad: jnp.ndarray,
                           0.0)
             return jnp.max(q)
 
-        return jax.lax.map(per_speed, (so_hi, so_lo, fo_hi, fo_lo, dmin))
+        # batch_size=8: rels vectorize in chunks instead of one serial
+        # while-loop step each — the per-step launch overhead (~15-20 ms
+        # through the TPU runtime, nearly independent of geometry) was 83%
+        # of the whole detect_speed scan (tools/speed_attrib.py round 5);
+        # chunks of 8 bound the batched gather workspace (~0.4 GB at scan3
+        # geometry) while amortizing the overhead 8x.  vmap does not
+        # reorder per-rel reductions, so results stay bit-exact vs the
+        # serial form (tests/test_speed_fused.py compares both paths).
+        return jax.lax.map(per_speed,
+                           (so_hi, so_lo, fo_hi, fo_lo, dmin, p0, st),
+                           batch_size=8)
 
     return jax.lax.map(per_center, (anchor_base, anchor_f1, anchor_f0,
                                     inv_int, inv_f1, inv_f0,
@@ -303,12 +358,16 @@ def _scan_body(xpad: jnp.ndarray,
 
 
 @partial(jax.jit, static_argnames=("n_tiles", "rows_bucket", "dense",
-                                   "banded", "rs_win"))
+                                   "banded", "rs_win", "shift", "pmax",
+                                   "padl", "width"))
 def _speed_scan_core(*args, n_tiles: int, rows_bucket: int,
-                     dense: bool, banded: bool, rs_win: int) -> jnp.ndarray:
+                     dense: bool, banded: bool, rs_win: int,
+                     shift: bool = False, pmax: int = 0, padl: int = 0,
+                     width: int = 0) -> jnp.ndarray:
     """Single-device scan: see _scan_body."""
     return _scan_body(*args, n_tiles=n_tiles, rows_bucket=rows_bucket,
-                      dense=dense, banded=banded, rs_win=rs_win)
+                      dense=dense, banded=banded, rs_win=rs_win,
+                      shift=shift, pmax=pmax, padl=padl, width=width)
 
 
 def _dense_resample() -> bool:
@@ -336,6 +395,26 @@ def _banded_compare() -> bool:
     return jax.default_backend() == "tpu"
 
 
+def _shift_compare() -> bool:
+    """Shift-form offset compare (TPU default, round 5): per-entry
+    contiguous row slices realign each mag-matrix column by its frame
+    offset, then TWO shared-index row gathers (carry 0/1) fetch every
+    (state, entry) value — no per-element gathers and no tensor with a
+    small minor dim anywhere (the banded form's (..., 40, 2) gather output
+    lane-pads 2 -> 128 on TPU: 64x memory, which both throttled the serial
+    form and OOMed the rel-batched one).  Exact for ALL rels (no residual
+    bound needed).  AUDIOWMARK_SPEED_SHIFT=0/1 overrides; an explicit
+    AUDIOWMARK_SPEED_BANDED=1 (with no shift override) selects banded —
+    tests compare all three forms on CPU."""
+    import os
+    ov = os.environ.get("AUDIOWMARK_SPEED_SHIFT")
+    if ov is not None:
+        return ov not in ("0", "false")
+    if os.environ.get("AUDIOWMARK_SPEED_BANDED") not in ("", None):
+        return False
+    return jax.default_backend() == "tpu"
+
+
 def scan_device_count() -> int:
     """Devices the speed scan shards its center axis over
     (AUDIOWMARK_MULTICHIP=0 disables, matching the sync-group gate)."""
@@ -353,7 +432,9 @@ _N_CENTER_ARGS = 10
 
 @lru_cache(maxsize=32)
 def _speed_scan_core_sharded(n_dev: int, n_tiles: int, rows_bucket: int,
-                             dense: bool, banded: bool, rs_win: int):
+                             dense: bool, banded: bool, rs_win: int,
+                             shift: bool = False, pmax: int = 0,
+                             padl: int = 0, width: int = 0):
     """dp-sharded scan: centers split across an n_dev-device mesh, clip and
     offset tables replicated.  Per-center math is unchanged (each center
     runs the identical program on one device), so results are bitwise equal
@@ -368,9 +449,10 @@ def _speed_scan_core_sharded(n_dev: int, n_tiles: int, rows_bucket: int,
 
     mesh = Mesh(np.array(jax.devices()[:n_dev]), axis_names=("centers",))
     body = partial(_scan_body, n_tiles=n_tiles, rows_bucket=rows_bucket,
-                   dense=dense, banded=banded, rs_win=rs_win)
+                   dense=dense, banded=banded, rs_win=rs_win,
+                   shift=shift, pmax=pmax, padl=padl, width=width)
     in_specs = ((P(),) + (P("centers"),) * _N_CENTER_ARGS
-                + (P(),) * 11)
+                + (P(),) * 13)
     fn = shard_map(body, mesh=mesh, in_specs=in_specs,
                    out_specs=P("centers"), check_vma=False)
     return jax.jit(fn)
@@ -494,18 +576,57 @@ def speed_scan(clip_samples: np.ndarray, n_channels: int,
     real = (np.arange(S_pad) < S).reshape(-1, _CB_BLK)
     rr = resid[:, real]                                     # (R, n_real)
     dmin = rr.min(axis=1).astype(np.int32)
-    banded = (_banded_compare()
+    shift = _shift_compare()
+    banded = (not shift and _banded_compare()
               and bool(np.all(rr.max(axis=1) - dmin + 2 <= _CB_NSEL)))
+
+    # shift-form tables (host-exact, see _shift_compare): per rel, entry
+    # j's mag column realigns by st[r, j] so one slice covers every state;
+    # states then read rows p0[r, s] (+carry) of the realigned matrix.
+    # Sentinel entries/states clip into real data and are killed by the
+    # same idx-bounds mask as the other forms.
+    if shift:
+        so_real = so_hi[:, :S].astype(np.int64)
+        fo_real = fo_hi_k[:, :kept.size].astype(np.int64)
+        smin = so_real.min(axis=1)                            # (R,)
+        smax = so_real.max(axis=1)
+        pmax = -(-(int((smax - smin).max()) + 2) // 512) * 512
+        padl_need = int(max(0, -(fo_real + smin[:, None]).min()))
+        padl = -(-padl_need // 128) * 128
+        st_hi = int((fo_real + smin[:, None]).max()) + padl
+        width_need = max(padl + rows_bucket, st_hi + pmax)
+        width = -(-width_need // 8192) * 8192
+        p0 = np.clip(so_hi.astype(np.int64) - smin[:, None], 0,
+                     pmax - 2).astype(np.int32)               # (R, S_pad)
+        st = np.clip(fo_hi_k.astype(np.int64) + smin[:, None] + padl, 0,
+                     width - pmax).astype(np.int32)           # (R, jk)
+        # sentinel (pruned) entries would clip to width - pmax, the
+        # LARGEST slice start in the program; park them at 0 instead
+        # (their gathered values are idx-masked) so the maximum start
+        # stays the real entries' bound
+        st[:, kept.size:] = 0
+        # v rows gathered per kept entry: D comes out (rows, 2*jk) with
+        # up columns [0, jk) and down columns [jk, 2*jk) — the cols
+        # indirection moves to the host
+        v_host = np.concatenate([sync_bits.v[2 * cols_k],
+                                 sync_bits.v[2 * cols_k + 1]],
+                                axis=0).astype(np.float32)
+    else:
+        pmax = padl = width = 0
+        p0 = np.zeros((R, so_hi.shape[1]), np.int32)
+        st = np.zeros((R, jk), np.int32)
+        v_host = sync_bits.v
 
     # constants uploaded once, reused by every group dispatch
     xpad_d = jax.device_put(xpad)
     so_hi_d, so_lo_d = jax.device_put(so_hi), jax.device_put(so_lo)
     dmin_d = jax.device_put(dmin)
     fo_hi_d, fo_lo_d = jax.device_put(fo_hi_k), jax.device_put(fo_lo_k)
+    p0_d, st_d = jax.device_put(p0), jax.device_put(st)
     cols_d, swap_d = jax.device_put(cols_k), jax.device_put(swap_k)
     onehot_d = jax.device_put(onehot_k)
     dftm_d = jax.device_put(_sub_dft_matrix())
-    v_d = jax.device_put(sync_bits.v)
+    v_d = jax.device_put(v_host)
 
     # multi-chip: centers shard over the mesh, so each dispatch carries
     # n_dev x the per-device watchdog budget (every device still runs at
@@ -551,11 +672,13 @@ def speed_scan(clip_samples: np.ndarray, n_channels: int,
             half_width[i] = 16.0 / ratio
 
         core = (_speed_scan_core_sharded(n_dev, n_tiles, rows_bucket,
-                                         _dense_resample(), banded, rs_win)
+                                         _dense_resample(), banded, rs_win,
+                                         shift, pmax, padl, width)
                 if n_dev > 1 else
                 partial(_speed_scan_core, n_tiles=n_tiles,
                         rows_bucket=rows_bucket, dense=_dense_resample(),
-                        banded=banded, rs_win=rs_win))
+                        banded=banded, rs_win=rs_win, shift=shift,
+                        pmax=pmax, padl=padl, width=width))
         pending.append((core(
             xpad_d,
             jnp.asarray(anchor_base), jnp.asarray(anchor_f1),
@@ -563,7 +686,7 @@ def speed_scan(clip_samples: np.ndarray, n_channels: int,
             jnp.asarray(inv_int), jnp.asarray(inv_f1), jnp.asarray(inv_f0),
             jnp.asarray(in_limit), jnp.asarray(rows_arr),
             jnp.asarray(fr), jnp.asarray(half_width),
-            so_hi_d, so_lo_d, fo_hi_d, fo_lo_d, dmin_d,
+            so_hi_d, so_lo_d, fo_hi_d, fo_lo_d, dmin_d, p0_d, st_d,
             cols_d, swap_d, onehot_d, dftm_d, v_d, jnp.float32(norm)), gc))
 
     fetched = fetch_tree([q for q, _ in pending])

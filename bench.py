@@ -295,7 +295,11 @@ def bench_io_floor(n_probes: int = 5):
     (floor_factor, up_mbs, down_mbs, spread) where spread is
     (up_min, up_max, down_min, down_max) in MB/s."""
     audio_bytes = AUDIO_SECONDS * RATE * N_CHANNELS * 2    # int16
-    probe = np.zeros(audio_bytes // 2, dtype=np.int16)
+    # incompressible probe data: the production payload is noise-like
+    # audio, so a zeros probe would overstate the link if the tunnel
+    # compresses its stream
+    probe = np.random.RandomState(0).randint(
+        -32768, 32768, audio_bytes // 2).astype(np.int16)
     g = jax.jit(lambda v: v + 1)
     d = jax.device_put(probe)
     float(d[0])        # block_until_ready does not reliably synchronize

@@ -95,6 +95,28 @@ def test_banded_compare_matches_flat(sync_bits, monkeypatch):
             assert qb == pytest.approx(qf, abs=1e-5)
 
 
+def test_shift_compare_matches_flat(sync_bits, monkeypatch):
+    """The round-5 TPU default: the shift-form compare (per-entry
+    contiguous row-slice realignment + two shared-index row gathers)
+    selects the exact same mag-matrix elements as the flat per-element
+    gather, for EVERY rel — it needs no residual-bound precondition, so
+    wild rels are included."""
+    from audiowmark_tpu.ops.speed_fused import speed_scan
+
+    rng = np.random.RandomState(19)
+    clip = (rng.randn(2 * 5 * 44100) * 0.25).astype(np.float32)
+    centers = [0.9, 1.0, 1.0007 ** 17]
+    rels = [1.0007 ** p for p in (-5, -1, 0, 2, 5)] + [0.7, 1.4]
+    monkeypatch.setenv("AUDIOWMARK_SPEED_SHIFT", "0")
+    flat = speed_scan(clip, 2, centers, 3.0, rels, sync_bits)
+    monkeypatch.setenv("AUDIOWMARK_SPEED_SHIFT", "1")
+    sh = speed_scan(clip, 2, centers, 3.0, rels, sync_bits)
+    for frow, srow in zip(flat, sh):
+        for (qf, sf), (qs, ss) in zip(frow, srow):
+            assert ss == sf
+            assert qs == pytest.approx(qf, abs=1e-5)
+
+
 def test_banded_precondition_rejects_far_rels(sync_bits, monkeypatch):
     """A rel far from 1.0 breaks the residual bound; the proof must route
     it to the flat form (same results) instead of mis-selecting."""
